@@ -1,0 +1,125 @@
+"""Unit tests for the MaxSim scoring core against NumPy oracles.
+
+Oracle semantics follow the reference `flmr_utils.py:22-48` (masking with
+−9999, max over doc tokens, sum over query tokens) and the packed kernel
+`segmented_maxsim.cpp:49-97`.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from reranking_multimodal_retrievers_tpu.ops import (
+    colbert_score,
+    colbert_score_reduce,
+    in_batch_maxsim_scores,
+    segmented_maxsim,
+    top_k_scores,
+)
+
+
+def numpy_colbert_score(Q, D, D_mask):
+    """Oracle mirroring torch `colbert_score` + `colbert_score_reduce`."""
+    if Q.shape[0] == 1:
+        Q = np.broadcast_to(Q, (D.shape[0], Q.shape[1], Q.shape[2]))
+    scores = np.einsum("btd,bld->btl", D, Q)  # [n_docs, L_d, L_q]
+    scores = np.where(D_mask[:, :, None].astype(bool), scores, -9999.0)
+    return scores.max(axis=1).sum(axis=-1)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def make_batch(rng, n_docs=5, L_d=17, L_q=9, dim=8):
+    Q = rng.normal(size=(n_docs, L_q, dim)).astype(np.float32)
+    D = rng.normal(size=(n_docs, L_d, dim)).astype(np.float32)
+    lens = rng.integers(1, L_d + 1, size=n_docs)
+    D_mask = (np.arange(L_d)[None, :] < lens[:, None]).astype(np.int32)
+    D = D * D_mask[:, :, None]
+    return Q, D, D_mask
+
+
+def test_colbert_score_aligned(rng):
+    Q, D, D_mask = make_batch(rng)
+    got, _ = colbert_score(jnp.asarray(Q), jnp.asarray(D), jnp.asarray(D_mask))
+    want = numpy_colbert_score(Q, D, D_mask)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_colbert_score_one_query_vs_all(rng):
+    Q, D, D_mask = make_batch(rng)
+    Q1 = Q[:1]
+    got, _ = colbert_score(jnp.asarray(Q1), jnp.asarray(D), jnp.asarray(D_mask))
+    want = numpy_colbert_score(Q1, D, D_mask)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_masked_query_tokens_contribute_zero(rng):
+    """Zeroed query rows must add exactly 0 (reference implicit behavior)."""
+    Q, D, D_mask = make_batch(rng)
+    Q_zeroed = Q.copy()
+    Q_zeroed[:, -3:, :] = 0.0
+    got, _ = colbert_score(jnp.asarray(Q_zeroed), jnp.asarray(D), jnp.asarray(D_mask))
+    want_trunc = numpy_colbert_score(Q_zeroed[:, :-3], D, D_mask)
+    np.testing.assert_allclose(np.asarray(got), want_trunc, rtol=1e-5, atol=1e-5)
+
+
+def test_score_reduce_returns_masked_tensor(rng):
+    Q, D, D_mask = make_batch(rng)
+    raw = np.einsum("btd,bld->btl", D, Q)
+    scores, masked = colbert_score_reduce(jnp.asarray(raw), jnp.asarray(D_mask))
+    masked = np.asarray(masked)
+    assert (masked[~D_mask.astype(bool)] == -9999.0).all()
+    np.testing.assert_allclose(
+        np.asarray(scores), numpy_colbert_score(Q, D, D_mask), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_in_batch_maxsim_scores(rng):
+    B_q, B_d, L_q, L_d, dim = 3, 6, 5, 11, 8
+    Q = rng.normal(size=(B_q, L_q, dim)).astype(np.float32)
+    D = rng.normal(size=(B_d, L_d, dim)).astype(np.float32)
+    lens = rng.integers(1, L_d + 1, size=B_d)
+    D_mask = (np.arange(L_d)[None, :] < lens[:, None]).astype(np.int32)
+    got = np.asarray(in_batch_maxsim_scores(jnp.asarray(Q), jnp.asarray(D), jnp.asarray(D_mask)))
+    want = np.zeros((B_q, B_d), np.float32)
+    for i in range(B_q):
+        want[i] = numpy_colbert_score(Q[i : i + 1], D, D_mask)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_segmented_maxsim_matches_padded(rng):
+    """Packed reduction == padded reduction (the C++ kernel's contract)."""
+    n_docs, L_q = 4, 6
+    doclens = np.array([3, 1, 5, 2], np.int32)
+    total = int(doclens.sum()) + 3  # trailing garbage rows must be ignored
+    packed = rng.normal(size=(total, L_q)).astype(np.float32)
+
+    got = np.asarray(
+        segmented_maxsim(jnp.asarray(packed), jnp.asarray(doclens), n_docs)
+    )
+    want = np.zeros(n_docs, np.float32)
+    off = 0
+    for i, l in enumerate(doclens):
+        want[i] = packed[off : off + l].max(axis=0).sum()
+        off += l
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_segmented_maxsim_zero_length_doc(rng):
+    doclens = np.array([2, 0, 3], np.int32)
+    packed = rng.normal(size=(5, 4)).astype(np.float32)
+    got = np.asarray(segmented_maxsim(jnp.asarray(packed), jnp.asarray(doclens), 3))
+    assert got[1] == 0.0
+    np.testing.assert_allclose(got[0], packed[:2].max(axis=0).sum(), rtol=1e-5)
+    np.testing.assert_allclose(got[2], packed[2:5].max(axis=0).sum(), rtol=1e-5)
+
+
+def test_top_k(rng):
+    scores = rng.normal(size=(100,)).astype(np.float32)
+    vals, idx = top_k_scores(jnp.asarray(scores), 7)
+    order = np.argsort(-scores)[:7]
+    np.testing.assert_allclose(np.asarray(vals), scores[order], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), order)
