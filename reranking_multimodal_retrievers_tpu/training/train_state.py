@@ -1,0 +1,120 @@
+"""SPMD train step for the FLMR retriever.
+
+One pjit-compiled program per step replaces the reference's
+Lightning-DDP loop (`FLMR_base_executor.py:407-464`): the batch is sharded
+over the mesh's data axis, gradients are averaged by the compiler-inserted
+psum of the replicated-param gradient, and cross-chip in-batch negatives ride
+``jax.lax.all_gather`` inside the model (`models/flmr.py``'s
+``gather_axis_name``). The reference backpropagates the *in-batch-negative*
+loss only (`FLMR_base_executor.py:461-464` returns ``{'loss': ib_loss}``) —
+``loss_key`` defaults to that behavior.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+import flax.struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import DATA_AXIS
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: dict
+    opt_state: optax.OptState
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params))
+
+
+def make_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    loss_key: str = "ib_loss",
+    num_negative_examples: int = 1,
+    use_in_batch_negatives: bool = True,
+):
+    """Build the jitted train step.
+
+    ``apply_fn(params, **batch, ...)`` must return an ``FLMRForwardOutput``.
+    With a mesh: params replicated, batch sharded over DATA_AXIS.
+
+    Cross-chip in-batch negatives need no explicit collective here: under
+    pjit/GSPMD the batch is a *global* array, so the all-pairs score einsum in
+    the ib loss spans the whole global batch and XLA inserts the all-gather
+    over ICI on its own — the reference's ``in_batch_negatives_from_all_gpus``
+    (`modeling_flmr.py:914-915`) is subsumed. The model's ``gather_axis_name``
+    parameter exists for explicit shard_map-style programs.
+    ``loss_key``: 'ib_loss' (reference default), 'loss', or 'sum'.
+    """
+    gather_axis = None
+
+    def loss_fn(params, batch):
+        out = apply_fn(
+            params,
+            **batch,
+            num_negative_examples=num_negative_examples,
+            use_in_batch_negatives=use_in_batch_negatives,
+            gather_axis_name=gather_axis,
+        )
+        if loss_key == "ib_loss":
+            loss = out.in_batch_negative_loss
+        elif loss_key == "loss":
+            loss = out.loss
+        else:
+            loss = out.loss + out.in_batch_negative_loss
+        metrics = {
+            "loss": out.loss,
+            "ib_loss": (
+                out.in_batch_negative_loss
+                if out.in_batch_negative_loss is not None
+                else jnp.zeros(())
+            ),
+        }
+        return loss, metrics
+
+    def step_fn(state: TrainState, batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        metrics["total_loss"] = loss
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    replicated = NamedSharding(mesh, P())
+
+    def shard_spec(x):
+        spec = [None] * x.ndim
+        if x.ndim:
+            spec[0] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
+
+    def sharded_step(state, batch):
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, shard_spec(x)), batch
+        )
+        return step_fn(state, batch)
+
+    return jax.jit(
+        sharded_step,
+        in_shardings=(replicated, None),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
