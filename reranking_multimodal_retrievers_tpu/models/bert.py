@@ -160,37 +160,60 @@ class BertEmbeddings(nn.Module):
     config: BertConfig
 
     @nn.compact
-    def __call__(self, input_ids, token_type_ids=None, position_ids=None):
+    def __call__(self, input_ids=None, token_type_ids=None, position_ids=None,
+                 inputs_embeds=None):
         cfg = self.config
-        B, L = input_ids.shape
+        if inputs_embeds is not None:
+            B, L = inputs_embeds.shape[:2]
+        else:
+            B, L = input_ids.shape
         if position_ids is None:
             position_ids = jnp.arange(L)[None, :]
         if token_type_ids is None:
-            token_type_ids = jnp.zeros_like(input_ids)
+            token_type_ids = jnp.zeros((B, L), dtype=jnp.int32)
         init = nn.initializers.normal(cfg.initializer_range)
-        we = nn.Embed(cfg.vocab_size, cfg.hidden_size, embedding_init=init,
-                      name="word_embeddings")(input_ids)
+        if inputs_embeds is None:
+            inputs_embeds = nn.Embed(
+                cfg.vocab_size, cfg.hidden_size, embedding_init=init,
+                name="word_embeddings",
+            )(input_ids)
+        # note: when called with inputs_embeds only, no word-embedding table
+        # is created — cross-encoder rerankers never need one
         pe = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
                       embedding_init=init, name="position_embeddings")(position_ids)
         te = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, embedding_init=init,
                       name="token_type_embeddings")(token_type_ids)
-        x = we + pe + te
+        x = inputs_embeds + pe + te
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layernorm")(x)
 
 
 class BertModel(nn.Module):
-    """Embeddings + encoder (+ tanh pooler, matching HF ``BertModel``)."""
+    """Embeddings + encoder (+ tanh pooler, matching HF ``BertModel``).
+
+    ``inputs_embeds`` bypasses the word-embedding lookup (the cross-encoder
+    rerankers feed mapped late-interaction features through BERT embeddings,
+    reference `attention_fusion.py:4` / ``AttentionFusionBertModel``), and
+    ``attention_adj`` is an additive [B, L, L] attention-bias block added to
+    the extended mask — the PreFLMR attention-fusion mechanism
+    (`attention_fusion.py:84-102`).
+    """
 
     config: BertConfig
     add_pooling_layer: bool = True
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask=None, token_type_ids=None):
+    def __call__(self, input_ids=None, attention_mask=None, token_type_ids=None,
+                 inputs_embeds=None, attention_adj=None):
         cfg = self.config
-        x = BertEmbeddings(cfg, name="embeddings")(input_ids, token_type_ids)
+        x = BertEmbeddings(cfg, name="embeddings")(
+            input_ids, token_type_ids, inputs_embeds=inputs_embeds
+        )
         mask_bias = None
         if attention_mask is not None:
             mask_bias = additive_mask(attention_mask)
+        if attention_adj is not None:
+            adj = attention_adj[:, None, :, :]  # broadcast over heads
+            mask_bias = adj if mask_bias is None else mask_bias + adj
         last_hidden, all_hidden = BertEncoder(cfg, name="encoder")(
             x, mask_bias=mask_bias
         )

@@ -1,0 +1,16 @@
+from .cross_encoder import CrossEncoder
+from .losses import prepare_logits_labels, rerank_loss
+from .rerank_model import RerankModel, FullContextRerankModel, RerankConfig
+from .interaction import InteractionRerankModel, MORESSym, InteractionRerankConfig
+
+__all__ = [
+    "CrossEncoder",
+    "prepare_logits_labels",
+    "rerank_loss",
+    "RerankModel",
+    "FullContextRerankModel",
+    "RerankConfig",
+    "InteractionRerankModel",
+    "MORESSym",
+    "InteractionRerankConfig",
+]

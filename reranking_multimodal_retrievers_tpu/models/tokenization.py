@@ -136,6 +136,73 @@ def instruction_token_id(tokenizer, instruction_token: str) -> int:
     return tokenizer.encode(instruction_token, add_special_tokens=False)[0]
 
 
+INSTRUCTION_PREFIXES = [
+    "Using the provided image, obtain documents that address the subsequent question: ",
+    "Retrieve documents that provide an answer to the question alongside the image: ",
+    "Extract documents linked to the question provided in conjunction with the image: ",
+    "Utilizing the given image, obtain documents that respond to the following question: ",
+    "Using the given image, access documents that provide insights into the following question: ",
+    "Obtain documents that correspond to the inquiry alongside the provided image: ",
+    "With the provided image, gather documents that offer a solution to the question: ",
+    "Utilizing the given image, obtain documents that respond to the following question: ",
+]
+
+
+def remove_instruction_prefix(text: str) -> str:
+    """Strip a known M2KR instruction prefix (reference `utils.py:109-127`)."""
+    for prefix in INSTRUCTION_PREFIXES:
+        if text.startswith(prefix):
+            return text[len(prefix):]
+    return text
+
+
+def prepare_full_context_inputs(
+    query_text_sequences: List[str],
+    context_text_sequences: List[str],
+    tokenizer,
+    max_query_length: int,
+    max_context_length: int,
+    max_decoder_source_length: int,
+    docs_per_query: int,
+):
+    """Host-side joint tokenization for ``FullContextRerankModel``
+    (reference `src/models/rerank/utils.py:129-167`): each part is truncated
+    to its own token budget, then the (query, context) pair is encoded with
+    ``token_type_ids`` and padded to ``max_decoder_source_length``.
+    Returns numpy int32 arrays."""
+    truncated_query = [
+        tokenizer.decode(
+            tokenizer.encode(t, add_special_tokens=False)[:max_query_length]
+        )
+        for t in query_text_sequences
+    ]
+    truncated_context = [
+        tokenizer.decode(
+            tokenizer.encode(t, add_special_tokens=False)[:max_context_length]
+        )
+        for t in context_text_sequences
+    ]
+    pairs = []
+    for i, q in enumerate(truncated_query):
+        for j in range(docs_per_query):
+            pairs.append((q, truncated_context[i * docs_per_query + j]))
+    enc = tokenizer.batch_encode_plus(
+        pairs,
+        add_special_tokens=True,
+        padding="max_length",
+        truncation=True,
+        max_length=max_decoder_source_length,
+        return_token_type_ids=True,
+        return_attention_mask=True,
+        return_tensors="np",
+    )
+    return {
+        "input_ids": enc["input_ids"].astype(np.int32),
+        "attention_mask": enc["attention_mask"].astype(np.int32),
+        "token_type_ids": enc["token_type_ids"].astype(np.int32),
+    }
+
+
 # --- offline test vocab -----------------------------------------------------
 
 BASE_SPECIALS = ["[PAD]", "[unused0]", "[unused1]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]

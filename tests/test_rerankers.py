@@ -1,0 +1,189 @@
+"""Reranker family tests (tiny configs): forward shapes, loss vocabulary,
+attention fusion, MORES, and the full-context tokenization path."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reranking_multimodal_retrievers_tpu.models.rerankers import (
+    RerankModel,
+    FullContextRerankModel,
+    RerankConfig,
+    InteractionRerankModel,
+    InteractionRerankConfig,
+)
+from reranking_multimodal_retrievers_tpu.models.rerankers.losses import (
+    prepare_logits_labels,
+    rerank_loss,
+    default_group_labels,
+)
+from reranking_multimodal_retrievers_tpu.models.rerankers.cross_encoder import (
+    fusion_attention_adj,
+)
+
+
+def test_default_group_labels():
+    lbl = np.asarray(default_group_labels(2, 3))
+    np.testing.assert_array_equal(lbl.ravel(), [1, 0, 0, 0, 1, 0, 0, 0])
+
+
+@pytest.mark.parametrize("loss_fn", ["BCE", "2H_BCE", "negative_sampling"])
+def test_loss_vocabulary(loss_fn):
+    rng = np.random.default_rng(0)
+    B, n_neg = 3, 2
+    expanded = B * (n_neg + 1)
+    l1 = jnp.asarray(rng.normal(size=(expanded, 1)), jnp.float32)
+    l2 = jnp.asarray(rng.normal(size=(expanded, 1)), jnp.float32)
+    logits, labels = prepare_logits_labels(loss_fn, l1, l2, B, n_neg)
+    loss = rerank_loss(loss_fn, logits, labels, pos_weight=2.0 if loss_fn != "negative_sampling" else None)
+    assert np.isfinite(float(loss))
+    if loss_fn == "2H_BCE":
+        assert logits.shape == (expanded, 2)
+    elif loss_fn == "negative_sampling":
+        assert logits.shape == (B, n_neg + 1)
+
+
+def test_bce_loss_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(8, 1)).astype(np.float32)
+    labels = (rng.random((8, 1)) > 0.5).astype(np.float32)
+    want = torch.nn.BCEWithLogitsLoss(pos_weight=torch.tensor([3.0]))(
+        torch.tensor(logits), torch.tensor(labels)
+    ).item()
+    got = float(rerank_loss("BCE", jnp.asarray(logits), jnp.asarray(labels), pos_weight=3.0))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_fusion_attention_adj_structure():
+    rng = np.random.default_rng(0)
+    B, Lc, Lq = 2, 5, 3
+    scores = jnp.asarray(rng.normal(size=(B, Lc, Lq)), jnp.float32)
+    adj = np.asarray(fusion_attention_adj(scores, Lq, Lc, fusion_multiplier=2.0))
+    assert adj.shape == (B, Lq + Lc, Lq + Lc)
+    np.testing.assert_allclose(adj[:, :Lq, :Lq], 0.0)
+    np.testing.assert_allclose(adj[:, Lq:, Lq:], 0.0)
+    # softmax rows scaled by multiplier sum to 2.0
+    np.testing.assert_allclose(adj[:, :Lq, Lq:].sum(-1), 2.0, rtol=1e-5)
+    np.testing.assert_allclose(adj[:, Lq:, :Lq].sum(-1), 2.0, rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def rerank_batch():
+    rng = np.random.default_rng(0)
+    B, nway, Lq, Lc = 2, 2, 8, 32
+    return dict(
+        query_input_ids=jnp.asarray(rng.integers(10, 1000, size=(B, Lq)), jnp.int32),
+        query_attention_mask=jnp.ones((B, Lq), jnp.int32),
+        query_pixel_values=jnp.asarray(rng.normal(size=(B, 3, 32, 32)), jnp.float32),
+        context_input_ids=jnp.asarray(rng.integers(10, 1000, size=(B * nway, Lc)), jnp.int32),
+        context_attention_mask=jnp.ones((B * nway, Lc), jnp.int32),
+    ), B, nway - 1
+
+
+def test_rerank_model_forward(rerank_batch):
+    batch, B, n_neg = rerank_batch
+    cfg = RerankConfig.tiny()
+    model = RerankModel(cfg)
+    out, params = model.init_with_output(
+        jax.random.PRNGKey(0), **batch, num_negative_examples=n_neg
+    )
+    assert out.logits.shape == (B * (n_neg + 1), 1)
+    assert np.isfinite(float(out.loss))
+
+
+def test_rerank_model_with_attention_fusion(rerank_batch):
+    batch, B, n_neg = rerank_batch
+    cfg = RerankConfig.tiny()
+    model = RerankModel(cfg)
+    rng = np.random.default_rng(3)
+    Lq = batch["query_input_ids"].shape[1]
+    Lc = batch["context_input_ids"].shape[1]
+    # expected preflmr score block: [expanded, Lc, Lq + img_rows]
+    num_patches = (cfg.flmr.vision_config.image_size // cfg.flmr.vision_config.patch_size) ** 2
+    img_rows = cfg.flmr.mapping_network_prefix_length + num_patches
+    scores = jnp.asarray(
+        rng.normal(size=(B * (n_neg + 1), Lc, Lq + img_rows)), jnp.float32
+    )
+    out, _ = model.init_with_output(
+        jax.random.PRNGKey(0), **batch, num_negative_examples=n_neg,
+        preflmr_scores=scores, fusion_multiplier=1.5,
+    )
+    assert np.isfinite(float(out.loss))
+
+
+def test_full_context_rerank_model():
+    rng = np.random.default_rng(0)
+    B, nway, L = 2, 2, 40
+    cfg = RerankConfig.tiny(loss_fn="2H_BCE")
+    model = FullContextRerankModel(cfg)
+    batch = dict(
+        input_ids=jnp.asarray(rng.integers(10, 1000, size=(B * nway, L)), jnp.int32),
+        attention_mask=jnp.ones((B * nway, L), jnp.int32),
+        token_type_ids=jnp.asarray(
+            np.repeat([[0] * 16 + [1] * 24], B * nway, axis=0), jnp.int32
+        ),
+        query_pixel_values=jnp.asarray(rng.normal(size=(B, 3, 32, 32)), jnp.float32),
+    )
+    out, _ = model.init_with_output(
+        jax.random.PRNGKey(0), **batch, num_negative_examples=nway - 1
+    )
+    assert out.logits.shape == (B * nway, 1)
+    assert np.isfinite(float(out.loss))
+    # text-only path
+    out2, _ = model.init_with_output(
+        jax.random.PRNGKey(0), **{**batch, "query_pixel_values": None},
+        num_negative_examples=nway - 1,
+    )
+    assert np.isfinite(float(out2.loss))
+
+
+@pytest.mark.parametrize("interaction_type", ["CrossEncoder", "MORES"])
+def test_interaction_rerank_model(interaction_type):
+    rng = np.random.default_rng(0)
+    B, nway, Lq, Lc, dim = 2, 3, 6, 10, 16
+    cfg = InteractionRerankConfig.tiny(
+        interaction_type=interaction_type, loss_fn="negative_sampling"
+    )
+    model = InteractionRerankModel(cfg)
+    batch = dict(
+        query_late_interaction=jnp.asarray(rng.normal(size=(B, Lq, dim)), jnp.float32),
+        context_late_interaction=jnp.asarray(
+            rng.normal(size=(B * nway, Lc, dim)), jnp.float32
+        ),
+        query_mask=jnp.ones((B, Lq), jnp.int32),
+        context_mask=jnp.ones((B * nway, Lc), jnp.int32),
+    )
+    out, _ = model.init_with_output(
+        jax.random.PRNGKey(0), **batch, num_negative_examples=nway - 1
+    )
+    assert out.logits.shape == (B * nway, 1)
+    assert np.isfinite(float(out.loss))
+
+
+def test_prepare_full_context_inputs():
+    from reranking_multimodal_retrievers_tpu.models.tokenization import (
+        prepare_full_context_inputs,
+        tiny_bert_tokenizer,
+    )
+    import tempfile
+
+    tok = tiny_bert_tokenizer(
+        tempfile.mkdtemp(), ["what", "is", "paris", "france", "capital", "the", "of"]
+    )
+    out = prepare_full_context_inputs(
+        ["what is the capital of france"],
+        ["paris is the capital", "france"],
+        tok,
+        max_query_length=8,
+        max_context_length=10,
+        max_decoder_source_length=24,
+        docs_per_query=2,
+    )
+    assert out["input_ids"].shape == (2, 24)
+    # token_type_ids: 0 for query segment, 1 for context segment
+    assert out["token_type_ids"][0].max() == 1
+    assert out["token_type_ids"][0][0] == 0
