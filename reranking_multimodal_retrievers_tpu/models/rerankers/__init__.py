@@ -2,6 +2,13 @@ from .cross_encoder import CrossEncoder
 from .losses import prepare_logits_labels, rerank_loss
 from .rerank_model import RerankModel, FullContextRerankModel, RerankConfig
 from .interaction import InteractionRerankModel, MORESSym, InteractionRerankConfig
+from .decoder import (
+    DecoderRerankModel,
+    DecoderHeadRerankModel,
+    DecoderRerankConfig,
+    VisionSeq2SeqLM,
+    prepare_decoder_rerank_inputs,
+)
 
 __all__ = [
     "CrossEncoder",
