@@ -1,0 +1,57 @@
+"""Disk cache for pipeline node outputs.
+
+Parity with the reference cache system
+(`runway_for_ml/utils/cache_system.py:100-186`): HF ``datasets`` objects are
+saved with their native arrow format, everything else with pickle; dummy-data
+runs cache under a separate subdirectory so they never pollute real caches
+(`runway_for_ml/data_module/data_pipeline.py:42-43`).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any
+
+
+def _is_hf_dataset(obj) -> bool:
+    try:
+        import datasets
+
+        return isinstance(obj, (datasets.Dataset, datasets.DatasetDict))
+    except ImportError:
+        return False
+
+
+def cache_data_to_disk(data: Any, name: str, cache_dir: str) -> str:
+    os.makedirs(cache_dir, exist_ok=True)
+    if _is_hf_dataset(data):
+        path = os.path.join(cache_dir, name + ".hf")
+        data.save_to_disk(path)
+        return path
+    path = os.path.join(cache_dir, name + ".pkl")
+    with open(path, "wb") as f:
+        pickle.dump(data, f, protocol=pickle.HIGHEST_PROTOCOL)
+    return path
+
+
+def load_data_from_disk(name: str, cache_dir: str):
+    hf_path = os.path.join(cache_dir, name + ".hf")
+    if os.path.isdir(hf_path):
+        import datasets
+
+        try:
+            return datasets.load_from_disk(hf_path)
+        except Exception:
+            return datasets.DatasetDict.load_from_disk(hf_path)
+    pkl_path = os.path.join(cache_dir, name + ".pkl")
+    if os.path.exists(pkl_path):
+        with open(pkl_path, "rb") as f:
+            return pickle.load(f)
+    return None
+
+
+def cache_exists(name: str, cache_dir: str) -> bool:
+    return os.path.isdir(os.path.join(cache_dir, name + ".hf")) or os.path.exists(
+        os.path.join(cache_dir, name + ".pkl")
+    )

@@ -1,0 +1,110 @@
+"""Lazy transform-DAG executor with content-keyed disk caching.
+
+Parity with the reference ``DataPipeline``
+(`runway_for_ml/data_module/data_pipeline.py:49-193`):
+
+- nodes are named ``"<split>:<Name>"`` and declare ``transform_name``,
+  ``input_node`` (or a list), ``setup_kwargs``, ``cache`` and ``regenerate``;
+- execution is lazy and recursive from requested output nodes;
+- the cache filename is keyed on the node id + an md5 of its setup kwargs, so
+  changing parameters invalidates only the affected subtree;
+- dummy-data mode caches under ``cache/dummy``;
+- an in-memory cache avoids recomputation within a process.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+import os
+from typing import Any, Dict, List, Optional
+
+from ..utils.registries import DataTransform_Registry
+from .cache_system import cache_data_to_disk, cache_exists, load_data_from_disk
+
+logger = logging.getLogger(__name__)
+
+
+class DataPipeline:
+    def __init__(
+        self,
+        pipeline_config,
+        use_dummy_data: bool = False,
+        global_config=None,
+        cache_dir: Optional[str] = None,
+    ):
+        self.config = pipeline_config
+        self.use_dummy_data = use_dummy_data
+        self.global_config = global_config
+        base = cache_dir or pipeline_config.get("cache_dir", "cache")
+        self.cache_dir = os.path.join(base, "dummy") if use_dummy_data else base
+        self.transforms: Dict[str, dict] = dict(pipeline_config.get("transforms", {}))
+        self.output_data: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------------ keys
+    def _cache_name(self, node_id: str, trans_info: dict) -> str:
+        kwargs_md5 = hashlib.md5(
+            json.dumps(trans_info.get("setup_kwargs", {}), sort_keys=True, default=str).encode()
+        ).hexdigest()[:10]
+        safe = node_id.replace(":", "__").replace("/", "_")
+        return f"{safe}-{kwargs_md5}"
+
+    # ------------------------------------------------------------------ exec
+    def _exec_node(self, node_id: str) -> Any:
+        if node_id in self.output_data:
+            return self.output_data[node_id]
+        if node_id not in self.transforms:
+            raise KeyError(f"pipeline node not found: {node_id}")
+        trans_info = self.transforms[node_id]
+        cache_name = self._cache_name(node_id, trans_info)
+        use_cache = bool(trans_info.get("cache", False))
+        regenerate = bool(trans_info.get("regenerate", False))
+
+        if use_cache and not regenerate and cache_exists(cache_name, self.cache_dir):
+            logger.info("cache hit for %s", node_id)
+            data = load_data_from_disk(cache_name, self.cache_dir)
+            self.output_data[node_id] = data
+            return data
+
+        input_node = trans_info.get("input_node")
+        if input_node is None:
+            inputs = None
+        elif isinstance(input_node, (list, tuple)):
+            inputs = [self._exec_node(n) for n in input_node]
+        else:
+            inputs = self._exec_node(input_node)
+
+        name = trans_info["transform_name"]
+        if name not in DataTransform_Registry:
+            raise KeyError(f"transform not registered: {name}")
+        functor = DataTransform_Registry[name](
+            use_dummy_data=self.use_dummy_data,
+            global_config=self.global_config,
+            name=node_id,
+        )
+        functor.setup(**trans_info.get("setup_kwargs", {}))
+        logger.info("executing %s (%s)", node_id, name)
+        output = functor(inputs)
+
+        if use_cache:
+            cache_data_to_disk(output, cache_name, self.cache_dir)
+        self.output_data[node_id] = output
+        return output
+
+    # ------------------------------------------------------------------- api
+    def apply_transforms(self) -> Dict[str, Any]:
+        """Execute every ``output:*`` node (reference `:171-176`)."""
+        outs = {}
+        for node_id in self.transforms:
+            if node_id.startswith("output:"):
+                outs[node_id] = self._exec_node(node_id)
+        return outs
+
+    def get_data(self, node_ids: List[str], explode: bool = False):
+        """Execute the requested nodes (reference `:178-185`)."""
+        results = {n: self._exec_node(n) for n in node_ids}
+        if explode:
+            assert len(node_ids) == 1
+            return results[node_ids[0]]
+        return results

@@ -1,0 +1,157 @@
+"""Data-ops tests: the M2KR dummy pipeline end-to-end into dataloaders,
+BM25 mining, module parser, and loader behaviors."""
+
+import numpy as np
+import pytest
+
+from reranking_multimodal_retrievers_tpu.utils import ConfigDict
+from reranking_multimodal_retrievers_tpu.data import DataPipeline
+from reranking_multimodal_retrievers_tpu.data.ops.m2kr_ops import make_dummy_m2kr
+from reranking_multimodal_retrievers_tpu.data.ops.wikipedia_ops import BM25Index
+import reranking_multimodal_retrievers_tpu.data.ops  # noqa: F401 (register)
+
+
+def test_make_dummy_m2kr_shape():
+    d = make_dummy_m2kr()
+    assert set(d.keys()) >= {"train", "valid", "test", "train_passages"}
+    row = d["train"][0]
+    assert {"question_id", "question", "answers", "pos_item_ids"} <= set(row)
+
+
+def test_bm25_index():
+    docs = ["paris is the capital of france", "berlin germany", "rome italy capital"]
+    idx = BM25Index(docs)
+    assert idx.search("capital of france", 1)[0] == 0
+    assert idx.search("germany", 1)[0] == 1
+
+
+def _full_pipeline_config(tmp_path):
+    query_maxlen, doc_maxlen = 24, 48
+    modules_config = {
+        "input_modules": [
+            {"type": "QuestionInput", "option": "default"},
+            {"type": "VisionInput", "option": "from_file"},
+        ],
+        "postprocess_module_list": [
+            {"type": "PostProcessFLMRQuestionInputTokenization", "max_length": query_maxlen},
+            {"type": "PostProcessVisionInputProcessing"},
+        ],
+        "decoder_input_modules": [
+            {"type": "SimilarityOutput", "option": "default"},
+        ],
+        "postprocess_decoder_input_module_list": [
+            {"type": "PostProcessFLMRItemInputTokenization", "max_length": doc_maxlen},
+        ],
+    }
+    return ConfigDict(
+        {
+            "cache_dir": str(tmp_path / "cache"),
+            "transforms": {
+                "input:LoadM2KR": {
+                    "transform_name": "LoadPreprocessedData",
+                    "setup_kwargs": {},
+                },
+                "output:PrepareDataloaders": {
+                    "transform_name": "PrepareDataloaders",
+                    "input_node": "input:LoadM2KR",
+                    "setup_kwargs": {
+                        "datasets_config": {
+                            "train": [
+                                {
+                                    "dataset_type": "OKVQADatasetForDPR",
+                                    "split": "train",
+                                    "use_column": "okvqa_data",
+                                    "modules_config": modules_config,
+                                }
+                            ],
+                            "valid": [
+                                {
+                                    "dataset_type": "OKVQADatasetForDPR",
+                                    "split": "valid",
+                                    "use_column": "okvqa_data",
+                                    "modules_config": modules_config,
+                                }
+                            ],
+                        },
+                        "tokenizer_config": {
+                            "tokenizer": {
+                                "TokenizerClass": "FLMRQueryTokenizer",
+                                "query_maxlen": query_maxlen,
+                            },
+                            "decoder_tokenizer": {
+                                "TokenizerClass": "FLMRContextTokenizer",
+                                "doc_maxlen": doc_maxlen,
+                            },
+                        },
+                    },
+                },
+            },
+        }
+    )
+
+
+def _wrap_global(tmp_path):
+    # global config the dataloader layer consults
+    return ConfigDict(
+        {
+            "mode": "train",
+            "train": {"batch_size": 4},
+            "valid": {"batch_size": 4},
+            "meta": {"seed": 0},
+            "model_config": {"num_negative_samples": 2},
+        }
+    )
+
+
+def test_m2kr_pipeline_to_dataloaders(tmp_path):
+    cfg = _full_pipeline_config(tmp_path)
+    # PrepareDataloaders needs the data under use_column: wrap via a node
+    cfg.transforms["process:Wrap"] = ConfigDict(
+        {
+            "transform_name": "WrapOutputIntoKeys",
+            "input_node": "input:LoadM2KR",
+            "setup_kwargs": {"output_keys": ["okvqa_data"]},
+        }
+    )
+    cfg.transforms["output:PrepareDataloaders"]["input_node"] = "process:Wrap"
+    dp = DataPipeline(cfg, use_dummy_data=True, global_config=_wrap_global(tmp_path))
+    out = dp.get_data(["output:PrepareDataloaders"], explode=True)
+
+    loaders = out["data_loaders"]
+    assert "train/OKVQADatasetForDPR.train" in loaders["train"]
+    loader = loaders["train"]["train/OKVQADatasetForDPR.train"]
+    batch = next(iter(loader))
+    # FLMR query tokenization: [B, query_maxlen]
+    assert batch["input_ids"].shape == (4, 24)
+    assert batch["input_ids"].dtype == np.int32
+    # contexts: 1 pos + 2 neg per question, under decoder_ keys
+    assert batch["decoder_input_ids"].shape == (4 * 3, 48)
+    assert len(batch["passage_contents"]) == 4 * 3
+    assert len(batch["pos_item_ids"]) == 4
+    assert all(len(n) == 2 for n in batch["neg_item_ids"])
+    assert batch["questions"][0].startswith("Answer the following")
+
+
+def test_loader_pad_last_and_determinism(tmp_path):
+    from reranking_multimodal_retrievers_tpu.data.loaders import DataLoader
+
+    class _DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.array([i])}
+
+    dl = DataLoader(_DS(), batch_size=4, pad_last=True)
+    batches = list(dl)
+    assert len(batches) == 3
+    assert batches[-1]["_real_count"] == 2
+    assert batches[-1]["x"].shape == (4, 1)  # padded to full batch
+
+    dl2 = DataLoader(_DS(), batch_size=4, shuffle=True, drop_last=True, seed=1)
+    order1 = [b["x"].ravel().tolist() for b in dl2]
+    order2 = [b["x"].ravel().tolist() for b in dl2]
+    assert order1 == order2  # same epoch → same order
+    dl2.set_epoch(1)
+    order3 = [b["x"].ravel().tolist() for b in dl2]
+    assert order1 != order3

@@ -1,0 +1,206 @@
+"""Config system, pipeline DAG + caching, metrics processors, EvalRecorder."""
+
+import os
+
+import numpy as np
+import pytest
+
+from reranking_multimodal_retrievers_tpu.utils import (
+    ConfigDict,
+    apply_opts,
+    load_config,
+    register_transform_functor,
+)
+from reranking_multimodal_retrievers_tpu.utils.config_system import merge_patch
+from reranking_multimodal_retrievers_tpu.data import DataPipeline, BaseTransform
+from reranking_multimodal_retrievers_tpu.metrics import MetricsProcessor, EvalRecorder
+from reranking_multimodal_retrievers_tpu.metrics.retrieval_metrics import (
+    recall_at_k,
+    ndcg_at_k,
+)
+from reranking_multimodal_retrievers_tpu.metrics.vqa_accuracy import (
+    normalize_answer,
+    vqa_accuracy,
+)
+
+
+# ------------------------------------------------------------------ config
+def test_config_dict_paths_and_opts():
+    cfg = ConfigDict({"train": {"batch_size": 8, "trainer_paras": {"max_epochs": 2}}})
+    assert cfg.train.batch_size == 8
+    apply_opts(cfg, ["train.batch_size=32", "train.trainer_paras.max_epochs=5",
+                     "test.new_key='hello'"])
+    assert cfg.train.batch_size == 32
+    assert cfg.train.trainer_paras.max_epochs == 5
+    assert cfg.test.new_key == "hello"
+
+
+def test_merge_patch_jsonnet_semantics():
+    base = {"a": {"x": 1, "y": 2}, "b": 3}
+    patch = {"a": {"y": 20, "z": 30}, "b": None, "c": 4}
+    out = merge_patch(base, patch)
+    assert out.a.x == 1 and out.a.y == 20 and out.a.z == 30
+    assert "b" not in out and out.c == 4
+
+
+def test_load_config_json_and_py(tmp_path):
+    import json
+
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({"meta": {"seed": 42}}))
+    cfg = load_config(str(p))
+    assert cfg.meta.seed == 42
+
+    q = tmp_path / "c.py"
+    q.write_text("config = {'meta': {'seed': 7}}\n")
+    cfg2 = load_config(str(q))
+    assert cfg2.meta.seed == 7
+
+
+# ---------------------------------------------------------------- pipeline
+@register_transform_functor
+class _SourceNumbers(BaseTransform):
+    def _call(self, data):
+        n = 4 if self.use_dummy_data else self.setup_kwargs.get("n", 10)
+        return list(range(n))
+
+
+@register_transform_functor
+class _DoubleNumbers(BaseTransform):
+    calls = 0
+
+    def _call(self, data):
+        type(self).calls += 1
+        return [x * 2 for x in data]
+
+
+def _pipeline_config(tmp_path, regenerate=False):
+    return ConfigDict(
+        {
+            "cache_dir": str(tmp_path / "cache"),
+            "transforms": {
+                "input:src": {
+                    "transform_name": "_SourceNumbers",
+                    "setup_kwargs": {"n": 6},
+                },
+                "output:double": {
+                    "transform_name": "_DoubleNumbers",
+                    "input_node": "input:src",
+                    "cache": True,
+                    "regenerate": regenerate,
+                },
+            },
+        }
+    )
+
+
+def test_pipeline_dag_and_cache(tmp_path):
+    cfg = _pipeline_config(tmp_path)
+    _DoubleNumbers.calls = 0
+    dp = DataPipeline(cfg)
+    out = dp.get_data(["output:double"], explode=True)
+    assert out == [0, 2, 4, 6, 8, 10]
+    assert _DoubleNumbers.calls == 1
+    # fresh pipeline → disk cache hit, no recompute
+    dp2 = DataPipeline(cfg)
+    out2 = dp2.get_data(["output:double"], explode=True)
+    assert out2 == out
+    assert _DoubleNumbers.calls == 1
+    # kwargs change → different cache key → recompute
+    cfg3 = _pipeline_config(tmp_path)
+    cfg3.transforms["input:src"].setup_kwargs.n = 3
+    dp3 = DataPipeline(cfg3)
+    # NOTE: cache key of output node unchanged, but input changed; the
+    # reference has the same property — regenerate flags control this
+    cfg3.transforms["output:double"].regenerate = True
+    out3 = dp3.get_data(["output:double"], explode=True)
+    assert out3 == [0, 2, 4]
+
+
+def test_pipeline_dummy_mode_uses_separate_cache(tmp_path):
+    cfg = _pipeline_config(tmp_path)
+    dp = DataPipeline(cfg, use_dummy_data=True)
+    out = dp.get_data(["output:double"], explode=True)
+    assert out == [0, 2, 4, 6]  # dummy source yields 4 rows
+    assert os.path.isdir(str(tmp_path / "cache" / "dummy"))
+
+
+# ----------------------------------------------------------------- metrics
+class _Proc(MetricsProcessor):
+    def __init__(self, metrics):
+        self.config = ConfigDict({"metrics": metrics})
+
+
+def _passages(contents, ids=None):
+    return [
+        {"content": c, "passage_id": (ids[i] if ids else str(i))}
+        for i, c in enumerate(contents)
+    ]
+
+
+def test_compute_DPR_scores():
+    proc = _Proc([{"name": "compute_DPR_scores"}])
+    batch = [
+        {
+            "top_ranking_passages": _passages(["paris is nice", "nothing", "paris again"]),
+            "answers": ["Paris"],
+            "gold_answer": "Paris",
+        },
+        {
+            "top_ranking_passages": _passages(["nope", "nope", "nope"]),
+            "answers": ["Rome"],
+            "gold_answer": "Rome",
+        },
+    ]
+    out = proc.compute_metrics({"batch_retrieval_result": batch, "Ks": [1, 3]})
+    assert out.metrics["recall_at_1"] == 0.5
+    assert out.metrics["recall_at_3"] == 0.5
+    assert out.metrics["precision_at_3"] == pytest.approx((2 / 3) / 2)
+
+
+def test_compute_rerank_DPR_scores_with_pos_ids():
+    proc = _Proc([{"name": "compute_rerank_DPR_scores_with_pos_ids"}])
+    batch = [
+        {
+            "top_ranking_passages": _passages(["a", "b"], ids=["p1", "p2"]),
+            "raw_top_ranking_passages": _passages(["b", "a"], ids=["p2", "p1"]),
+            "pos_item_ids": ["p1"],
+        }
+    ]
+    out = proc.compute_metrics({"batch_retrieval_result": batch, "Ks": [1]})
+    assert out.metrics["pos_item_ids_recall_at_1"] == 1.0
+    assert out.metrics["pos_item_ids_raw_recall_at_1"] == 0.0
+
+
+def test_vqa_accuracy_normalization():
+    assert normalize_answer("The two dogs!") == "2 dogs"
+    assert vqa_accuracy("two", ["two"] * 10) == 1.0
+    assert vqa_accuracy("two", ["two"] * 3 + ["three"] * 7) == pytest.approx(0.9)
+    assert vqa_accuracy("five", ["two"] * 10) == 0.0
+
+
+def test_retrieval_metric_helpers():
+    rel = np.array([[1, 0, 0], [0, 0, 1]])
+    assert recall_at_k(rel, 1) == 0.5
+    assert recall_at_k(rel, 3) == 1.0
+    assert 0 < ndcg_at_k(rel, 3) <= 1
+
+
+# ----------------------------------------------------------- eval recorder
+def test_eval_recorder_roundtrip(tmp_path):
+    rec = EvalRecorder("test_rec", str(tmp_path))
+    rec.log_sample_dict({"question_id": "q1", "score": 0.5})
+    rec.log_sample_dict({"question_id": "q2", "score": 0.7, "extra": "x"})
+    rec.log_stats_dict({"loss": 0.1})
+    assert rec.num_samples == 2
+    assert rec.get_sample_logs_column("extra") == [None, "x"]
+    for fmt in ("pkl", "json"):
+        rec.save_to_disk(fmt)
+        loaded = EvalRecorder.load_from_disk("test_rec", str(tmp_path), fmt)
+        assert loaded.num_samples == 2
+        assert loaded.stats_logs["loss"] == [0.1]
+    other = EvalRecorder("other", str(tmp_path))
+    other.log_sample_dict({"question_id": "q3", "score": 0.9})
+    rec.merge(other)
+    assert rec.num_samples == 3
+    assert rec.rename("renamed").name == "renamed"
