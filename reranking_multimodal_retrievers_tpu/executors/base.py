@@ -1,0 +1,212 @@
+"""Executor base: config-driven train/eval engine.
+
+The TPU-native replacement for the reference's PyTorch-Lightning executor
+stack (`runway_for_ml/executors/base_executor.py:27-372`): one process, one
+mesh, explicit loops. Responsibilities kept at parity — data-pipeline
+construction from ``use_data_node``, optimizer/scheduler factory from
+``train.optimizer_config``, dataloader plumbing, EvalRecorder lifecycle,
+checkpoint save/restore — while DDP/rank bookkeeping disappears (SPMD).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..data.pipeline import DataPipeline
+from ..metrics import EvalRecorder, MetricsProcessor
+from ..training.checkpointing import CheckpointManager
+from ..training.optimization import make_optimizer
+from ..utils.config_system import ConfigDict
+from ..utils.seed import set_seed
+
+logger = logging.getLogger(__name__)
+
+
+class BaseExecutor(MetricsProcessor):
+    def __init__(self, config: ConfigDict, use_dummy_data: bool = False, mesh=None):
+        self.config = config
+        self.use_dummy_data = use_dummy_data
+        self.mesh = mesh
+        self.global_step = 0
+        set_seed(config.get_path("meta.seed", 42) or 42)
+
+        self.experiment_dir = config.get_path("meta.experiment_dir", "experiments/default")
+        os.makedirs(self.experiment_dir, exist_ok=True)
+        self.ckpt_manager = CheckpointManager(
+            os.path.join(self.experiment_dir, "ckpts"),
+            monitor=config.get_path("train.monitor"),
+            mode=config.get_path("train.monitor_mode", "max"),
+            save_top_k=config.get_path("train.save_top_k", 1),
+        )
+        self.metrics_history: list = []
+
+        self._build_data()
+        self._init_model()
+
+    # ------------------------------------------------------------- data
+    def _build_data(self):
+        dp_config = self.config.data_pipeline
+        self.data_pipeline = DataPipeline(
+            dp_config,
+            use_dummy_data=self.use_dummy_data,
+            global_config=self.config,
+        )
+        node = self.config.get_path("executor.use_data_node", "output:PrepareDataloaders")
+        self.prepared_data = self.data_pipeline.get_data([node], explode=True)
+        self.data_loaders = self.prepared_data["data_loaders"]
+        self.tokenizers = self.prepared_data.get("tokenizers", {})
+
+    def train_dataloader(self):
+        loaders = self.data_loaders.get("train", {})
+        return next(iter(loaders.values())) if loaders else None
+
+    def eval_dataloaders(self, mode: str):
+        return self.data_loaders.get(mode, {})
+
+    # ------------------------------------------------------------ model
+    def _init_model(self):
+        raise NotImplementedError
+
+    def training_step(self, batch) -> Dict[str, float]:
+        raise NotImplementedError
+
+    def evaluate(self, mode: str = "test") -> ConfigDict:
+        raise NotImplementedError
+
+    # --------------------------------------------------------- optimizer
+    def build_optimizer(self, params, num_training_steps: int):
+        oc = self.config.get_path("train.optimizer_config", ConfigDict())
+        op = oc.get("optimizer_params", {})
+        tx, labels = make_optimizer(
+            params,
+            optimizer_name=oc.get("optimizer_name", "AdamW"),
+            lr=op.get("lr", 1e-3),
+            mapping_network_lr=oc.get("mapping_network_lr"),
+            scheduler=oc.get("scheduler"),
+            num_warmup_steps=oc.get("scheduler_params", {}).get("num_warmup_steps", 0),
+            num_training_steps=num_training_steps,
+            weight_decay=op.get("weight_decay", 0.0),
+            group_patterns=tuple(
+                self.config.get_path("model_config.mapping_group_patterns",
+                                     ["late_interaction_adapter"])
+            ),
+            frozen_patterns=tuple(self.frozen_patterns()),
+            grad_clip=op.get("gradient_clipping"),
+        )
+        return tx, labels
+
+    def frozen_patterns(self):
+        """Vision encoders frozen by default (reference
+        `FLMR_base_executor.py:185-189`); extended via model_config.modules."""
+        modules = self.config.get_path("model_config.modules", []) or []
+        patterns = []
+        if "freeze_vision_encoders" in modules or not modules:
+            patterns.append("vision_encoder")
+        if "freeze_reranker_vision_encoder" in modules:
+            patterns.append("vision_encoder")
+        return patterns
+
+    # -------------------------------------------------------------- train
+    def train(self):
+        tc = self.config.get_path("train", ConfigDict())
+        trainer = tc.get("trainer_paras", {})
+        max_epochs = trainer.get("max_epochs", 1)
+        limit_train_batches = trainer.get("limit_train_batches")
+        val_interval_epochs = trainer.get("check_val_every_n_epoch", 1)
+        log_interval = trainer.get("log_every_n_steps", 10)
+        save_interval = tc.get("save_interval")
+
+        loader = self.train_dataloader()
+        assert loader is not None, "no train dataloader configured"
+        steps_per_epoch = limit_train_batches or len(loader)
+        self.prepare_training(steps_per_epoch * max_epochs)
+
+        for epoch in range(max_epochs):
+            loader.set_epoch(epoch)
+            t0 = time.time()
+            for i, batch in enumerate(loader):
+                if limit_train_batches and i >= limit_train_batches:
+                    break
+                metrics = self.training_step(batch)
+                self.global_step += 1
+                if self.global_step % log_interval == 0:
+                    self.log_metrics({"epoch": epoch, **metrics})
+                if save_interval and self.global_step % save_interval == 0:
+                    self.save_checkpoint()
+            logger.info(
+                "epoch %d done in %.1fs (step=%d)", epoch, time.time() - t0,
+                self.global_step,
+            )
+            if (epoch + 1) % val_interval_epochs == 0 and self.data_loaders.get("valid"):
+                val_metrics = self.evaluate("valid")
+                self.log_metrics({f"valid/{k}": v for k, v in val_metrics.metrics.items()})
+                self.save_checkpoint(val_metrics.metrics)
+        if not self.data_loaders.get("valid"):
+            self.save_checkpoint()
+        return self.metrics_history
+
+    def prepare_training(self, total_steps: int):
+        """Hook: build train step/optimizer once steps are known."""
+
+    def test(self):
+        load_path = self.config.get_path("test.load_model_path") or None
+        ckpt = self.ckpt_manager.resolve(load_path)
+        if ckpt:
+            self.load_checkpoint(ckpt)
+        results = self.evaluate("test")
+        self.logging_results(results, prefix="test")
+        return results
+
+    # ----------------------------------------------------- logging/ckpt
+    def log_metrics(self, metrics: Dict[str, Any]):
+        entry = {"step": self.global_step, **{k: _to_float(v) for k, v in metrics.items()}}
+        self.metrics_history.append(entry)
+        logger.info("metrics %s", entry)
+        path = os.path.join(self.experiment_dir, "metrics.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    def save_checkpoint(self, metrics: Optional[Dict[str, float]] = None):
+        state = self.state_to_save()
+        if state is not None:
+            self.ckpt_manager.save(state, self.global_step, metrics=_floats(metrics))
+
+    def state_to_save(self):
+        return None
+
+    def load_checkpoint(self, path: str):
+        raise NotImplementedError
+
+    def logging_results(self, results: ConfigDict, prefix: str = "test"):
+        """Write predictions + metrics (reference
+        `FLMR_base_executor.py:1108-1168` writes
+        ``{prefix}_predictions_rank_{rank}.json``; SPMD has one logical rank)."""
+        out = {
+            "metrics": {k: _to_float(v) for k, v in results.metrics.items()},
+            "predictions": results.get("batch_retrieval_result", []),
+        }
+        path = os.path.join(self.experiment_dir, f"{prefix}_predictions_rank_0.json")
+        with open(path, "w") as f:
+            json.dump(out, f, default=_to_float)
+        logger.info("wrote %s", path)
+        self.log_metrics({f"{prefix}/{k}": v for k, v in results.metrics.items()})
+        return path
+
+
+def _to_float(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return str(v)
+
+
+def _floats(metrics):
+    if not metrics:
+        return {}
+    return {k: _to_float(v) for k, v in metrics.items() if isinstance(_to_float(v), float)}

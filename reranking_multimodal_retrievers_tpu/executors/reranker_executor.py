@@ -1,0 +1,472 @@
+"""Reranker executor: train + rerank-eval over static retrieval results.
+
+Parity with `src/executors/Reranker_base_executor.py:80-1201`:
+
+- ``init_retrieve``: static retrieval results (question_id → top passages)
+  loaded from json/pkl (`:244-271`); in dummy mode synthesized from the
+  corpus (positives + random distractors);
+- train-time doc selection: ground-truth positive + sampled retrieved
+  negatives (``negative_sample_model_inputs``, `:486-530`) or random
+  retrieved docs with binary labels (``sample_model_inputs``, `:532-566`),
+  gated by the ``model_config.modules`` flags
+  (``train_with_retrieved_docs`` / ``neg_sample_retrieved`` /
+  ``interaction_reranker`` / ``preflmr_attention_fusion`` / ``text_only``);
+- test: per query, rerank the static top-``docs_to_rerank`` docs with ONE
+  batched jit forward (the [Q·K, L] program — the throughput north star),
+  sort by logit, keep the raw (retriever-ordered) list for the side-by-side
+  rerank-vs-raw metrics (`:651-1030`).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import pickle
+import random
+from typing import Dict, List
+
+import numpy as np
+
+from ..models.rerankers import (
+    FullContextRerankModel,
+    RerankConfig,
+    InteractionRerankModel,
+    InteractionRerankConfig,
+    DecoderRerankModel,
+    DecoderHeadRerankModel,
+    DecoderRerankConfig,
+)
+from ..models.bert import BertConfig
+from ..models.tokenization import prepare_full_context_inputs, remove_instruction_prefix
+from ..utils.config_system import ConfigDict
+from ..utils.registries import register_executor
+from .base import BaseExecutor
+from .flmr_executor import flmr_config_from
+
+logger = logging.getLogger(__name__)
+
+
+@register_executor
+class RerankerExecutor(BaseExecutor):
+    # ------------------------------------------------------------ model
+    def _init_model(self):
+        import jax
+
+        mc = self.config.get_path("model_config", ConfigDict())
+        self.modules = list(mc.get("modules", []))
+        self.Ks = mc.get("Ks", [5, 10, 20, 50, 100])
+        self.docs_to_rerank = mc.get("docs_to_rerank", max(self.Ks))
+        self.num_negative_samples = mc.get("num_negative_samples", 4)
+        self.fusion_multiplier = mc.get("fusion_multiplier", 1.0)
+        self._rng = random.Random(self.config.get_path("meta.seed", 42) or 42)
+
+        ce_cfg = BertConfig(**mc.get("cross_encoder", {"num_hidden_layers": 1}))
+        loss_fn = mc.get("loss_fn", "BCE")
+        pos_weight = mc.get("pos_weight")
+
+        if "interaction_reranker" in self.modules:
+            self.reranker_family = "interaction"
+            self.reranker_config = InteractionRerankConfig(
+                cross_encoder=ce_cfg,
+                interaction_type=mc.get("interaction_type", "CrossEncoder"),
+                loss_fn=loss_fn,
+                pos_weight=pos_weight,
+                late_interaction_dim=mc.get("late_interaction_dim", 128),
+            )
+            self.reranker = InteractionRerankModel(self.reranker_config)
+        elif "decoder_reranker" in self.modules:
+            self.reranker_family = "decoder"
+            dec_kwargs = dict(mc.get("decoder", {}))
+            self.reranker_config = DecoderRerankConfig(
+                text_config=BertConfig(**dec_kwargs.pop("text_config", {})),
+                loss_fn=loss_fn, pos_weight=pos_weight, **dec_kwargs,
+            )
+            cls = (
+                DecoderHeadRerankModel
+                if mc.get("decoder_head", False)
+                else DecoderRerankModel
+            )
+            self.reranker = cls(self.reranker_config)
+        else:
+            self.reranker_family = "full_context"
+            flmr_cfg = flmr_config_from(
+                mc,
+                query_tokenizer=self.tokenizers.get("tokenizer"),
+                context_tokenizer=self.tokenizers.get("decoder_tokenizer"),
+            )
+            self.reranker_config = RerankConfig(
+                flmr=flmr_cfg,
+                cross_encoder=ce_cfg,
+                loss_fn=loss_fn,
+                pos_weight=pos_weight,
+                max_query_length=mc.get("max_query_length", 32),
+                max_decoder_source_length=mc.get("max_decoder_source_length", 512),
+            )
+            self.reranker = FullContextRerankModel(self.reranker_config)
+
+        # frozen retriever for interaction / attention-fusion modules
+        self.retriever = None
+        if self.reranker_family == "interaction" or "preflmr_attention_fusion" in self.modules:
+            from ..models import FLMRModelForRetrieval
+
+            self.retriever_config = flmr_config_from(
+                mc,
+                query_tokenizer=self.tokenizers.get("tokenizer"),
+                context_tokenizer=self.tokenizers.get("decoder_tokenizer"),
+            )
+            self.retriever = FLMRModelForRetrieval(self.retriever_config)
+
+        self._setup_corpus()
+        self.init_retrieve()
+        self.params = self._init_params()
+        self._train_state = None
+        self._rerank_fn = None
+
+    def _setup_corpus(self):
+        self.id2doc: Dict[str, str] = {}
+        passages = self.prepared_data.get("passages")
+        if passages and "id2doc" in passages:
+            self.id2doc = dict(passages["id2doc"])
+        else:
+            for loaders in self.data_loaders.values():
+                for loader in loaders.values():
+                    ds = getattr(loader, "dataset", None)
+                    if ds is not None and getattr(ds, "passages", None):
+                        self.id2doc.update(ds.passages["id2doc"])
+
+    def _init_params(self):
+        import jax
+
+        key = jax.random.PRNGKey(self.config.get_path("meta.seed", 42) or 42)
+        batch = self._example_inputs(batch_size=1, nway=2)
+        variables = self.reranker.init(key, **batch, num_negative_examples=1)
+        params = variables["params"]
+        self._retriever_params = None
+        if self.retriever is not None:
+            img = self.retriever_config.vision_config.image_size
+            import jax.numpy as jnp
+
+            rb = dict(
+                query_input_ids=jnp.ones((1, 8), jnp.int32),
+                query_attention_mask=jnp.ones((1, 8), jnp.int32),
+                query_pixel_values=jnp.zeros((1, 3, img, img), jnp.float32),
+                context_input_ids=jnp.ones((2, 8), jnp.int32),
+                context_attention_mask=jnp.ones((2, 8), jnp.int32),
+            )
+            self._retriever_params = self.retriever.init(key, **rb)["params"]
+        return params
+
+    def _example_inputs(self, batch_size: int, nway: int):
+        import jax.numpy as jnp
+
+        if self.reranker_family == "interaction":
+            dim = self.reranker_config.late_interaction_dim
+            return dict(
+                query_late_interaction=jnp.zeros((batch_size, 8, dim), jnp.float32),
+                context_late_interaction=jnp.zeros((batch_size * nway, 12, dim), jnp.float32),
+                query_mask=jnp.ones((batch_size, 8), jnp.int32),
+                context_mask=jnp.ones((batch_size * nway, 12), jnp.int32),
+            )
+        if self.reranker_family == "decoder":
+            return dict(
+                input_ids=jnp.ones((batch_size * nway, 16), jnp.int32),
+                attention_mask=jnp.ones((batch_size * nway, 16), jnp.int32),
+                pixel_values=jnp.zeros(
+                    (batch_size, 3, self.reranker_config.vision_config.image_size,
+                     self.reranker_config.vision_config.image_size), jnp.float32,
+                ),
+            )
+        img = self.reranker_config.flmr.vision_config.image_size
+        L = self.reranker_config.max_decoder_source_length
+        return dict(
+            input_ids=jnp.ones((batch_size * nway, L), jnp.int32),
+            attention_mask=jnp.ones((batch_size * nway, L), jnp.int32),
+            token_type_ids=jnp.zeros((batch_size * nway, L), jnp.int32),
+            query_pixel_values=(
+                None if "text_only" in self.modules
+                else jnp.zeros((batch_size, 3, img, img), jnp.float32)
+            ),
+        )
+
+    # -------------------------------------------------- static retrieval
+    def init_retrieve(self):
+        """Reference `:244-271`."""
+        path = self.config.get_path("model_config.retrieve_result_path")
+        self.questionId2topPassages: Dict[str, List[dict]] = {}
+        if path and os.path.exists(path):
+            if path.endswith(".json"):
+                with open(path) as f:
+                    loaded = json.load(f)
+            else:
+                with open(path, "rb") as f:
+                    loaded = pickle.load(f)
+            # accepted shapes: {qid: [{passage_id, score}...]} or the
+            # prediction-dump format from FLMRExecutor.logging_results
+            if "predictions" in loaded:
+                for entry in loaded["predictions"]:
+                    self.questionId2topPassages[str(entry["question_id"])] = entry[
+                        "top_ranking_passages"
+                    ]
+            else:
+                self.questionId2topPassages = {str(k): v for k, v in loaded.items()}
+        elif self.use_dummy_data:
+            self._synthesize_static_retrieval()
+        else:
+            logger.warning("no static retrieval results configured")
+
+    def _synthesize_static_retrieval(self):
+        all_ids = list(self.id2doc.keys())
+        for loaders in self.data_loaders.values():
+            for loader in loaders.values():
+                ds = getattr(loader, "dataset", None)
+                table = getattr(ds, "dataset", None)
+                if table is None:
+                    continue
+                for row in table:
+                    qid = str(row["question_id"])
+                    if qid in self.questionId2topPassages:
+                        continue
+                    pos = list(row.get("pos_item_ids", []))
+                    pool = pos + [p for p in all_ids if p not in set(pos)]
+                    pool = pool[: self.docs_to_rerank]
+                    self._rng.shuffle(pool)
+                    self.questionId2topPassages[qid] = [
+                        {"passage_id": p, "content": self.id2doc[p], "score": 1.0}
+                        for p in pool
+                    ]
+
+    def static_retrieve(self, question_id) -> List[dict]:
+        """Reference `:1032-1054`; lists shorter than K pad by replication
+        (reference `FLMR_base_executor.py:1006-1015`)."""
+        docs = self.questionId2topPassages.get(str(question_id), [])
+        docs = docs[: self.docs_to_rerank]
+        while docs and len(docs) < self.docs_to_rerank:
+            docs = docs + docs[: self.docs_to_rerank - len(docs)]
+        return docs
+
+    # ------------------------------------------------------------ train
+    def prepare_training(self, total_steps: int):
+        import jax
+        import optax
+
+        tx, _ = self.build_optimizer(self.params, total_steps)
+        self._tx = tx
+        self._opt_state = tx.init(self.params)
+        nway = self.num_negative_samples + 1
+
+        @jax.jit
+        def step(params, opt_state, batch):
+            def loss_fn(p):
+                out = self.reranker.apply(
+                    {"params": p}, **batch,
+                    num_negative_examples=self.num_negative_samples,
+                )
+                return out.loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        self._step = step
+
+    def _select_training_docs(self, qid, pos_ids):
+        """negative_sample vs sample modes (reference `:486-566`)."""
+        retrieved = [d["passage_id"] for d in self.static_retrieve(qid)]
+        if not retrieved:
+            retrieved = list(self.id2doc.keys())[: self.docs_to_rerank]
+        if "neg_sample_retrieved" in self.modules or "train_with_retrieved_docs" not in self.modules:
+            # 1 positive + N negatives (negatives from retrieved, minus pos)
+            pos = pos_ids[0] if pos_ids else retrieved[0]
+            negs = [p for p in retrieved if p not in set(pos_ids)]
+            if len(negs) < self.num_negative_samples:
+                negs = negs + [p for p in self.id2doc if p not in set(pos_ids)]
+            selected = [pos] + negs[: self.num_negative_samples]
+            labels = [1] + [0] * self.num_negative_samples
+        else:
+            # random N+1 retrieved docs with binary labels (`:532-566`)
+            selected = self._rng.sample(retrieved, min(len(retrieved), self.num_negative_samples + 1))
+            while len(selected) < self.num_negative_samples + 1:
+                selected.append(selected[-1])
+            labels = [1 if p in set(pos_ids) else 0 for p in selected]
+        return selected, labels
+
+    def training_step(self, batch) -> Dict[str, float]:
+        import jax.numpy as jnp
+
+        nway = self.num_negative_samples + 1
+        doc_ids, labels = [], []
+        for qi, qid in enumerate(batch["question_ids"]):
+            pos = batch.get("pos_item_ids", [[None]])[qi]
+            sel, lab = self._select_training_docs(qid, [p for p in pos if p])
+            doc_ids.extend(sel)
+            labels.extend(lab)
+        contents = [self.id2doc.get(d, "") for d in doc_ids]
+        queries = [remove_instruction_prefix(q) for q in batch["questions"]]
+
+        model_batch = self._build_rerank_inputs(batch, queries, contents, nway)
+        if "train_with_retrieved_docs" in self.modules and "neg_sample_retrieved" not in self.modules:
+            model_batch["labels"] = jnp.asarray(labels, jnp.float32)
+        self.params, self._opt_state, loss = self._step(
+            self.params, self._opt_state, model_batch
+        )
+        return {"loss": float(np.asarray(loss))}
+
+    def _build_rerank_inputs(self, batch, queries, contents, nway):
+        import jax.numpy as jnp
+
+        if self.reranker_family == "interaction":
+            return self._interaction_inputs(batch, contents, nway)
+        if self.reranker_family == "decoder":
+            from ..models.rerankers.decoder import prepare_decoder_rerank_inputs
+
+            tok = getattr(self.tokenizers.get("decoder_tokenizer"), "tok", None)
+            cfg = self.reranker_config
+            enc = prepare_decoder_rerank_inputs(
+                queries, contents, tok,
+                max_query_length=self.config.get_path("model_config.max_query_length", 32),
+                max_context_length=self.config.get_path("model_config.max_context_length", 64),
+                max_decoder_source_length=self.config.get_path(
+                    "model_config.max_decoder_source_length", 128
+                ),
+                docs_per_query=nway,
+            )
+            out = {
+                "input_ids": jnp.asarray(enc["input_ids"]),
+                "attention_mask": jnp.asarray(enc["attention_mask"]),
+                "pixel_values": (
+                    jnp.asarray(batch["pixel_values"])
+                    if "pixel_values" in batch else None
+                ),
+            }
+            return out
+        # full-context
+        cfg = self.reranker_config
+        tok = getattr(self.tokenizers.get("tokenizer"), "tok", None) or getattr(
+            self.tokenizers.get("decoder_tokenizer"), "tok", None
+        )
+        enc = prepare_full_context_inputs(
+            queries, contents, tok,
+            max_query_length=cfg.max_query_length,
+            max_context_length=cfg.max_context_length,
+            max_decoder_source_length=cfg.max_decoder_source_length,
+            docs_per_query=nway,
+        )
+        out = {
+            "input_ids": jnp.asarray(enc["input_ids"]),
+            "attention_mask": jnp.asarray(enc["attention_mask"]),
+            "token_type_ids": jnp.asarray(enc["token_type_ids"]),
+            "query_pixel_values": (
+                None if "text_only" in self.modules or "pixel_values" not in batch
+                else jnp.asarray(batch["pixel_values"])
+            ),
+        }
+        return out
+
+    def _interaction_inputs(self, batch, contents, nway):
+        """Run the frozen retriever to produce late-interaction features
+        (reference `:579-587`)."""
+        import jax
+        import jax.numpy as jnp
+
+        assert self.retriever is not None
+        ct = self.tokenizers["decoder_tokenizer"]
+        dlen = self.config.get_path("model_config.doc_maxlen", 64)
+        enc_d = ct(contents, max_length=dlen)
+        qout = self.retriever.apply(
+            {"params": self._retriever_params},
+            jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["attention_mask"]),
+            pixel_values=(jnp.asarray(batch["pixel_values"]) if "pixel_values" in batch else None),
+            method=type(self.retriever).query,
+        )
+        dout = self.retriever.apply(
+            {"params": self._retriever_params},
+            jnp.asarray(enc_d["input_ids"]),
+            jnp.asarray(enc_d["attention_mask"]),
+            method=type(self.retriever).doc,
+        )
+        return dict(
+            query_late_interaction=qout.late_interaction_output,
+            context_late_interaction=dout.late_interaction_output,
+            query_mask=qout.query_mask,
+            context_mask=dout.context_mask.astype(jnp.int32),
+        )
+
+    def state_to_save(self):
+        return {"params": self.params}
+
+    def load_checkpoint(self, path: str):
+        from ..training.checkpointing import CheckpointManager
+
+        restored = CheckpointManager.restore(path)
+        self.params = restored.get("params", restored)
+
+    # ------------------------------------------------------------- eval
+    def evaluate(self, mode: str = "test") -> ConfigDict:
+        import jax
+        import jax.numpy as jnp
+
+        limit = self.config.get_path(
+            f"{mode}.trainer_paras.limit_{'val' if mode=='valid' else 'test'}_batches"
+        )
+        K = self.docs_to_rerank
+        batch_results: List[dict] = []
+
+        @jax.jit
+        def fwd(params, model_batch):
+            out = self.reranker.apply(
+                {"params": params}, **model_batch, num_negative_examples=K - 1
+            )
+            return out.logits
+
+        for name, loader in self.eval_dataloaders(mode).items():
+            for bi, batch in enumerate(loader):
+                if limit and bi >= limit:
+                    break
+                real = batch.get("_real_count", len(batch["question_ids"]))
+                for qi in range(real):
+                    qid = batch["question_ids"][qi]
+                    docs = self.static_retrieve(qid)
+                    if not docs:
+                        continue
+                    contents = [d["content"] for d in docs]
+                    queries = [remove_instruction_prefix(batch["questions"][qi])]
+                    sub = {
+                        k: (v[qi : qi + 1] if hasattr(v, "__getitem__") else v)
+                        for k, v in batch.items()
+                        if k in ("input_ids", "attention_mask", "pixel_values",
+                                 "questions", "question_ids")
+                    }
+                    sub["questions"] = queries
+                    model_batch = self._build_rerank_inputs(sub, queries, contents, K)
+                    logits = np.asarray(fwd(self.params, model_batch)).reshape(-1)
+                    order = np.argsort(-logits)
+                    entry = {
+                        "question_id": qid,
+                        "question": batch["questions"][qi],
+                        "top_ranking_passages": [
+                            {
+                                "passage_id": docs[j]["passage_id"],
+                                "content": docs[j]["content"],
+                                "score": float(logits[j]),
+                            }
+                            for j in order
+                        ],
+                        "raw_top_ranking_passages": [
+                            {"passage_id": d["passage_id"], "content": d["content"],
+                             "score": float(d.get("score", 0.0))}
+                            for d in docs
+                        ],
+                    }
+                    if "answers" in batch:
+                        entry["answers"] = batch["answers"][qi]
+                        entry["gold_answer"] = batch["gold_answer"][qi]
+                    if "pos_item_ids" in batch:
+                        entry["pos_item_ids"] = batch["pos_item_ids"][qi]
+                    batch_results.append(entry)
+
+        data_dict = {"batch_retrieval_result": batch_results, "Ks": self.Ks}
+        log_dict = self.compute_metrics(data_dict)
+        log_dict["batch_retrieval_result"] = batch_results
+        return log_dict
