@@ -1,0 +1,121 @@
+"""K-means, codec, compressed two-stage search, legacy retrievers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reranking_multimodal_retrievers_tpu.engine.kmeans import (
+    train_centroids,
+    num_partitions_heuristic,
+)
+from reranking_multimodal_retrievers_tpu.engine.codec import compress, decompress
+from reranking_multimodal_retrievers_tpu.engine.plaid import CompressedSearcher
+
+
+def test_num_partitions_heuristic():
+    # 16*sqrt(120*N) style magnitude; exact formula: 2^floor(log2(16 sqrt E))
+    assert num_partitions_heuristic(10000) == 1024
+    assert num_partitions_heuristic(1) == 16
+
+
+def test_kmeans_separates_clusters():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(100, 8)) * 0.05 + np.array([1] + [0] * 7)
+    b = rng.normal(size=(100, 8)) * 0.05 + np.array([0, 1] + [0] * 6)
+    x = np.concatenate([a, b]).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    c, assign = train_centroids(x, k=2, n_iters=10)
+    assert c.shape == (2, 8)
+    # points in the same true cluster share an assignment
+    assert len(set(assign[:100])) == 1
+    assert len(set(assign[100:])) == 1
+    assert assign[0] != assign[150]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(0)
+    N, L, D = 64, 12, 32
+    emb = rng.normal(size=(N, L, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    lens = rng.integers(4, L + 1, size=N)
+    mask = np.arange(L)[None] < lens[:, None]
+    emb *= mask[:, :, None]
+    Q = rng.normal(size=(4, 8, D)).astype(np.float32)
+    Q /= np.linalg.norm(Q, axis=-1, keepdims=True)
+    return emb, mask, Q
+
+
+def test_codec_roundtrip_accuracy(corpus):
+    emb, mask, Q = corpus
+    idx = compress(emb, mask, [f"d{i}" for i in range(len(emb))],
+                   num_centroids=32, sample_size=512)
+    rec = np.asarray(decompress(idx.codes, idx.residuals, idx.centroids, idx.scales))
+    valid = mask.astype(bool)
+    err = np.abs(rec[valid] - emb[valid]).max()
+    assert err < 0.05, err  # int8 residual should reconstruct closely
+    # compression: int8 + codes ≈ 4x smaller than fp32
+    assert idx.nbytes() < emb.nbytes / 2
+
+
+def test_compressed_search_matches_exact(corpus):
+    emb, mask, Q = corpus
+    idx = compress(emb, mask, [f"d{i}" for i in range(len(emb))],
+                   num_centroids=32, sample_size=512)
+    searcher = CompressedSearcher(idx, k=5, n_candidates=32, chunk=16)
+    vals, ids = searcher.search(Q)
+    # exact brute force
+    scores = np.einsum("bqd,nld->bnlq", Q, emb)
+    scores = np.where(mask[None, :, :, None], scores, -9999.0)
+    exact = scores.max(axis=2).sum(axis=-1)
+    exact_top1 = np.argsort(-exact, axis=1)[:, 0]
+    # top-1 must agree (stage-2 rescoring uses near-exact reconstructions)
+    np.testing.assert_array_equal(ids[:, 0], exact_top1)
+
+
+def test_legacy_retrievers():
+    from reranking_multimodal_retrievers_tpu.models.legacy_retrievers import (
+        VisualColBERT, VisualDPR, RetrieverDPR, RetrieverT5, DPRConfig,
+    )
+    from reranking_multimodal_retrievers_tpu.models.bert import BertConfig
+    from reranking_multimodal_retrievers_tpu.models.vit import CLIPVisionConfig
+
+    rng = np.random.default_rng(0)
+    B, nway, Lq, Ld = 2, 2, 6, 10
+    qi = jnp.asarray(rng.integers(5, 500, size=(B, Lq)), jnp.int32)
+    qm = jnp.ones((B, Lq), jnp.int32)
+    di = jnp.asarray(rng.integers(5, 500, size=(B * nway, Ld)), jnp.int32)
+    dm = jnp.ones((B * nway, Ld), jnp.int32)
+    pix = jnp.asarray(rng.normal(size=(B, 3, 32, 32)), jnp.float32)
+
+    # VisualColBERT = FLMR minus transformer mapping
+    vc = VisualColBERT.build(BertConfig.tiny(), CLIPVisionConfig.tiny(),
+                             dim=16, prefix_length=4)
+    out, _ = vc.init_with_output(
+        jax.random.PRNGKey(0),
+        query_input_ids=qi, query_attention_mask=qm, query_pixel_values=pix,
+        context_input_ids=di, context_attention_mask=dm,
+        num_negative_examples=1,
+    )
+    B_, rows, _ = out.query_late_interaction_output.shape
+    assert rows == Lq + 4  # no per-patch mapping tokens
+    assert np.isfinite(float(out.loss))
+
+    for cls, kwargs in [
+        (VisualDPR, dict(use_vision=True)),
+        (RetrieverDPR, dict(bpr=True)),
+        (RetrieverT5, dict(projection_dim=16)),
+    ]:
+        cfg = DPRConfig.tiny(**kwargs)
+        model = cls(cfg)
+        call_kwargs = dict(
+            query_input_ids=qi, query_attention_mask=qm,
+            item_input_ids=di, item_attention_mask=dm,
+            num_negative_examples=1,
+        )
+        if cls is VisualDPR:
+            call_kwargs["query_pixel_values"] = pix
+        out, _ = model.init_with_output(jax.random.PRNGKey(0), **call_kwargs)
+        assert out.scores.shape == (B, B * nway)
+        assert np.isfinite(float(out.loss))
