@@ -87,12 +87,26 @@ def make_train_step(
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch
         )
+        # NaN guard (reference raises on NaN embeddings,
+        # `modeling_flmr.py:917-930`; here a non-finite step is *skipped* so
+        # long runs survive a bad batch, and the flag is surfaced)
+        grads_finite = jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)])
+        )
+        finite = jnp.logical_and(grads_finite, jnp.isfinite(loss))
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), new_params, state.params
+        )
+        new_opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), new_opt_state, state.opt_state
+        )
         new_state = TrainState(
             step=state.step + 1, params=new_params, opt_state=new_opt_state
         )
         metrics["total_loss"] = loss
+        metrics["grads_finite"] = finite.astype(jnp.float32)
         return new_state, metrics
 
     if mesh is None:

@@ -1,0 +1,135 @@
+"""Tools (analysis, mcnemar, evqa eval, job gen) + observability + NaN guard."""
+
+import os
+
+import numpy as np
+import pytest
+
+from reranking_multimodal_retrievers_tpu.tools.analysis import (
+    rerank_vs_list_size,
+    mcnemar_test,
+    loss_vs_recall,
+)
+from reranking_multimodal_retrievers_tpu.tools.eval_evqa import (
+    token_f1,
+    answers_equivalent,
+    evqa_scores,
+)
+from reranking_multimodal_retrievers_tpu.tools.submit_jobs import render_job
+from reranking_multimodal_retrievers_tpu.utils.observability import (
+    MetricsHistoryLogger,
+    profile_trace,
+    maybe_wandb,
+)
+from reranking_multimodal_retrievers_tpu.utils.config_system import ConfigDict
+
+
+def _entry(qid, order, pos, raw_order=None):
+    def plist(ids):
+        return [{"passage_id": p, "content": f"text {p}", "score": -i}
+                for i, p in enumerate(ids)]
+    e = {
+        "question_id": qid,
+        "top_ranking_passages": plist(order),
+        "pos_item_ids": pos,
+        "answers": [pos[0]],
+    }
+    if raw_order:
+        e["raw_top_ranking_passages"] = plist(raw_order)
+    return e
+
+
+def test_mcnemar():
+    preds = [
+        _entry("q1", ["a", "b"], ["a"], raw_order=["b", "a"]),  # both hit @2
+        _entry("q2", ["x", "y"], ["z"], raw_order=["z", "x"]),  # raw hit, rerank miss
+    ] * 5
+    res = mcnemar_test(preds, k=1)
+    assert res["b"] == 5 and res["c"] == 5  # q1: raw@1 miss, rerank@1 hit; q2 opposite
+    assert 0 <= res["p_value"] <= 1
+
+
+def test_rerank_vs_list_size():
+    retrieval = [_entry("q1", ["a", "b", "c"], ["c"])]
+    # reranker scores c highest
+    rerank = [{
+        "question_id": "q1",
+        "top_ranking_passages": [
+            {"passage_id": "c", "content": "text c", "score": 9.0},
+            {"passage_id": "a", "content": "text a", "score": 1.0},
+            {"passage_id": "b", "content": "text b", "score": 0.0},
+        ],
+    }]
+    out = rerank_vs_list_size(retrieval, rerank, Ds=[1, 3], k=1, use_answers=False)
+    assert out[1] == 0.0  # top-1 retrieval list doesn't contain c
+    assert out[3] == 1.0  # reranking top-3 surfaces c
+
+
+def test_evqa_eval():
+    assert token_f1("the red car", "red car") > 0.7
+    assert answers_equivalent("Two dogs", "2 dogs")
+    assert not answers_equivalent("paris", "rome")
+    s = evqa_scores(["paris", "roma"], ["paris", "rome"])
+    assert s["evqa_accuracy"] == 0.5
+
+
+def test_loss_vs_recall(tmp_path):
+    import json
+
+    p = tmp_path / "preds.json"
+    p.write_text(json.dumps({"predictions": [_entry("q", ["a"], ["a"])]}))
+    rows = loss_vs_recall([str(p)], [0.3], k=1)
+    assert rows[0]["recall_at_1"] == 1.0
+
+
+def test_render_job(tmp_path):
+    path = render_job("configs/okvqa_flmr.json", "test", "smoke",
+                      dummy=True, out_dir=str(tmp_path))
+    text = open(path).read()
+    assert "--use_dummy_data" in text
+    assert "limit_test_batches=1" in text
+    assert os.access(path, os.X_OK)
+
+
+def test_observability():
+    hist = MetricsHistoryLogger()
+    hist.log_metrics({"loss": 1.0}, step=1)
+    hist.log_metrics({"loss": 0.5}, step=2)
+    assert hist.latest("loss") == 0.5
+    with profile_trace(label="t"):
+        pass
+    run = maybe_wandb(ConfigDict({"meta": {"logger_enable": []}}))
+    run.log({"x": 1})
+    run.finish()
+
+
+def test_nan_guard_skips_bad_step():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from reranking_multimodal_retrievers_tpu.training.train_state import (
+        TrainState, make_train_step,
+    )
+    import flax.struct
+
+    @flax.struct.dataclass
+    class Out:
+        loss: jax.Array
+        in_batch_negative_loss: jax.Array
+        scores: jax.Array
+
+    def apply_fn(params, x=None, num_negative_examples=1,
+                 use_in_batch_negatives=True, gather_axis_name=None):
+        loss = jnp.sum(params["w"] * x)
+        return Out(loss=loss, in_batch_negative_loss=loss, scores=loss[None])
+
+    tx = optax.sgd(0.1)
+    params = {"w": jnp.ones((2,))}
+    step = make_train_step(apply_fn, tx, mesh=None, loss_key="loss")
+    state = TrainState.create(params, tx)
+    state, m = step(state, {"x": jnp.asarray([1.0, 1.0])})
+    assert m["grads_finite"] == 1.0
+    w_after = np.asarray(state.params["w"]).copy()
+    state, m = step(state, {"x": jnp.asarray([jnp.nan, 1.0])})
+    assert m["grads_finite"] == 0.0
+    np.testing.assert_array_equal(np.asarray(state.params["w"]), w_after)
