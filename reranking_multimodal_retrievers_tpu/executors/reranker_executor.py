@@ -424,32 +424,42 @@ class RerankerExecutor(BaseExecutor):
             for bi, batch in enumerate(loader):
                 if limit and bi >= limit:
                     break
-                real = batch.get("_real_count", len(batch["question_ids"]))
+                n_rows = len(batch["question_ids"])
+                real = batch.get("_real_count", n_rows)
+                # one [B·K, L] forward for the whole eval batch — the batched
+                # program that replaces the reference's per-query loop
+                # (`Reranker_base_executor.py:785-935`); queries with no
+                # static results get a placeholder doc list and are dropped
+                per_q_docs = []
+                for qi in range(n_rows):
+                    docs = self.static_retrieve(batch["question_ids"][qi])
+                    per_q_docs.append(docs)
+                fallback = [
+                    {"passage_id": p, "content": self.id2doc[p], "score": 0.0}
+                    for p in list(self.id2doc.keys())[:K]
+                ]
+                contents, queries = [], []
+                for qi in range(n_rows):
+                    docs = per_q_docs[qi] or fallback
+                    per_q_docs[qi] = docs
+                    contents.extend(d["content"] for d in docs)
+                    queries.append(remove_instruction_prefix(batch["questions"][qi]))
+                model_batch = self._build_rerank_inputs(batch, queries, contents, K)
+                logits = np.asarray(fwd(self.params, model_batch)).reshape(n_rows, K)
                 for qi in range(real):
-                    qid = batch["question_ids"][qi]
-                    docs = self.static_retrieve(qid)
-                    if not docs:
+                    docs = per_q_docs[qi]
+                    if not self.questionId2topPassages.get(str(batch["question_ids"][qi])):
                         continue
-                    contents = [d["content"] for d in docs]
-                    queries = [remove_instruction_prefix(batch["questions"][qi])]
-                    sub = {
-                        k: (v[qi : qi + 1] if hasattr(v, "__getitem__") else v)
-                        for k, v in batch.items()
-                        if k in ("input_ids", "attention_mask", "pixel_values",
-                                 "questions", "question_ids")
-                    }
-                    sub["questions"] = queries
-                    model_batch = self._build_rerank_inputs(sub, queries, contents, K)
-                    logits = np.asarray(fwd(self.params, model_batch)).reshape(-1)
-                    order = np.argsort(-logits)
+                    row = logits[qi]
+                    order = np.argsort(-row)
                     entry = {
-                        "question_id": qid,
+                        "question_id": batch["question_ids"][qi],
                         "question": batch["questions"][qi],
                         "top_ranking_passages": [
                             {
                                 "passage_id": docs[j]["passage_id"],
                                 "content": docs[j]["content"],
-                                "score": float(logits[j]),
+                                "score": float(row[j]),
                             }
                             for j in order
                         ],

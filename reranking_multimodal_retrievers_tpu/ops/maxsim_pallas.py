@@ -38,12 +38,15 @@ def _maxsim_kernel(q_ref, d_ref, m_ref, out_ref, *, B_blk, C_blk, L_q, L_d, dim)
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    mask = m_ref[...].reshape(C_blk * L_d, 1)
-    scores = jnp.where(mask, scores, MASK_FILL_VALUE)
     scores = scores.reshape(C_blk, L_d, B_blk, L_q)
+    # additive mask (fp32 broadcast; Mosaic cannot reshape i1 vectors)
+    bias = jnp.where(m_ref[...], 0.0, MASK_FILL_VALUE)  # [C_blk, L_d]
+    scores = scores + bias[:, :, None, None]
     per_tok = jnp.max(scores, axis=1)  # [C_blk, B_blk, L_q]
     totals = jnp.sum(per_tok, axis=-1)  # [C_blk, B_blk]
-    out_ref[...] = totals.T  # [B_blk, C_blk]
+    # out block is (1, 1, B_blk, C_blk): trailing dims cover the full array
+    # dims (TPU lowering requires trailing block dims 8/128-aligned or full)
+    out_ref[0, 0, :, :] = totals.T
 
 
 @functools.partial(
@@ -78,7 +81,7 @@ def maxsim_scores_pallas(
         _maxsim_kernel, B_blk=B_blk, C_blk=C_blk, L_q=L_q, L_d=L_d, dim=dim
     )
     grid = (N // C_blk, B // B_blk)
-    return pl.pallas_call(
+    out4 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -86,8 +89,10 @@ def maxsim_scores_pallas(
             pl.BlockSpec((C_blk, L_d, dim), lambda c, b: (c, 0, 0)),
             pl.BlockSpec((C_blk, L_d), lambda c, b: (c, 0)),
         ],
-        out_specs=pl.BlockSpec((B_blk, C_blk), lambda c, b: (b, c)),
-        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, B_blk, C_blk), lambda c, b: (c, b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (N // C_blk, B // B_blk, B_blk, C_blk), jnp.float32
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * L_d * L_q * dim,
@@ -99,3 +104,5 @@ def maxsim_scores_pallas(
             transcendentals=0,
         ),
     )(Q, D, mask)
+    # [n_c, n_b, B_blk, C_blk] → [B, N]
+    return jnp.moveaxis(out4, 0, 2).reshape(B, N)

@@ -44,4 +44,5 @@ def test_pallas_all_masked_doc():
             B_blk=2, C_blk=4, interpret=True,
         )
     )
-    assert (got[:, 2] == -9999.0 * 4).all()
+    # additive masking: all-masked docs land at ≈ −9999·L_q (± raw scores)
+    np.testing.assert_allclose(got[:, 2], -9999.0 * 4, atol=50.0)
