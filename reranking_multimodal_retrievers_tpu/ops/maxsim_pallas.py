@@ -2,19 +2,23 @@
 
 The hot op of both retrieval and late-interaction reranking: for query token
 matrices Q and a corpus/candidate block D, compute per-(query, doc) MaxSim
-totals. The XLA path (`ops.maxsim`) materializes the [B, C, L_d, L_q] token
--score tensor in HBM between the matmul and the max/sum reductions; this
-kernel keeps each block's scores in VMEM and reduces in-place — one HBM read
-per D tile, one [B, C] write.
+totals. The XLA path (`ops.maxsim`) materializes the per-chunk token-score
+tensor in HBM between the matmul and the max/sum reductions; this kernel
+keeps each block's scores in VMEM and reduces in place — one HBM read per D
+tile, one [B_blk, C_blk] write.
 
-Tiling: grid over (doc blocks, query blocks). Each program loads
-``D[C_blk, L_d, dim]`` and ``Q[B_blk, L_q, dim]`` tiles into VMEM, runs the
-MXU contraction ``[C_blk·L_d, dim] × [dim, B_blk·L_q]``, masks invalid doc
-tokens with −9999 (reference semantics, `flmr_utils.py:27`), max-reduces over
-doc tokens and sum-reduces over query tokens.
+Mosaic-friendly structure (several lowering constraints shaped this):
+- the doc-token validity mask is passed as a pre-flattened additive fp32 bias
+  ``[N·L_d, 1]`` (i1 vectors cannot be reshaped, trailing singleton
+  broadcasts don't lower);
+- the sum over query tokens runs on the MXU as a matmul with a block-summing
+  0/1 matrix instead of a 4D reshape+reduce;
+- the output is written as full-block ``[..., C_blk, B_blk]`` tiles (trailing
+  block dims must be 8/128-aligned or cover the whole axis).
 
-Used by the engine when ``use_pallas=True``; falls back to the jnp path on
-non-TPU backends.
+Masking semantics: additive −9999 bias (reference `flmr_utils.py:27`) — for a
+doc with at least one valid token the totals are exact; fully-masked (pure
+padding) docs float at ≈ −9999·L_q and never win.
 """
 
 from __future__ import annotations
@@ -27,26 +31,28 @@ import jax.numpy as jnp
 from .maxsim import MASK_FILL_VALUE
 
 
-def _maxsim_kernel(q_ref, d_ref, m_ref, out_ref, *, B_blk, C_blk, L_q, L_d, dim):
-    from jax.experimental import pallas as pl  # noqa: F401
-
+def _maxsim_kernel(q_ref, d_ref, bias_ref, out_ref, *, B_blk, C_blk, L_q, L_d, dim):
     q = q_ref[...].reshape(B_blk * L_q, dim)
     d = d_ref[...].reshape(C_blk * L_d, dim)
-    # [C_blk*L_d, B_blk*L_q] in fp32 on the MXU
+    # [C_blk*L_d, B_blk*L_q] fp32 on the MXU
     scores = jax.lax.dot_general(
         d, q,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    scores = scores.reshape(C_blk, L_d, B_blk, L_q)
-    # additive mask (fp32 broadcast; Mosaic cannot reshape i1 vectors)
-    bias = jnp.where(m_ref[...], 0.0, MASK_FILL_VALUE)  # [C_blk, L_d]
-    scores = scores + bias[:, :, None, None]
-    per_tok = jnp.max(scores, axis=1)  # [C_blk, B_blk, L_q]
-    totals = jnp.sum(per_tok, axis=-1)  # [C_blk, B_blk]
-    # out block is (1, 1, B_blk, C_blk): trailing dims cover the full array
-    # dims (TPU lowering requires trailing block dims 8/128-aligned or full)
-    out_ref[0, 0, :, :] = totals.T
+    scores = scores + bias_ref[...]  # [rows, 1] additive mask
+    scores = scores.reshape(C_blk, L_d, B_blk * L_q)
+    per_tok = jnp.max(scores, axis=1)  # [C_blk, B_blk*L_q]
+    # sum over each query's L_q columns via a 0/1 block-summing matmul
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B_blk * L_q, B_blk), 0) // L_q
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B_blk * L_q, B_blk), 1)
+    summer = (rows == cols).astype(jnp.float32)
+    totals = jax.lax.dot_general(
+        per_tok, summer,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [C_blk, B_blk]
+    out_ref[0, 0, :, :] = totals
 
 
 @functools.partial(
@@ -77,6 +83,9 @@ def maxsim_scores_pallas(
     N, L_d, _ = D.shape
     assert B % B_blk == 0 and N % C_blk == 0, (B, B_blk, N, C_blk)
 
+    bias = jnp.where(mask, 0.0, MASK_FILL_VALUE).astype(jnp.float32)
+    bias = bias.reshape(N * L_d, 1)
+
     kernel = functools.partial(
         _maxsim_kernel, B_blk=B_blk, C_blk=C_blk, L_q=L_q, L_d=L_d, dim=dim
     )
@@ -87,11 +96,11 @@ def maxsim_scores_pallas(
         in_specs=[
             pl.BlockSpec((B_blk, L_q, dim), lambda c, b: (b, 0, 0)),
             pl.BlockSpec((C_blk, L_d, dim), lambda c, b: (c, 0, 0)),
-            pl.BlockSpec((C_blk, L_d), lambda c, b: (c, 0)),
+            pl.BlockSpec((C_blk * L_d, 1), lambda c, b: (c, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, B_blk, C_blk), lambda c, b: (c, b, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, C_blk, B_blk), lambda c, b: (c, b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(
-            (N // C_blk, B // B_blk, B_blk, C_blk), jnp.float32
+            (N // C_blk, B // B_blk, C_blk, B_blk), jnp.float32
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -103,6 +112,6 @@ def maxsim_scores_pallas(
             ),
             transcendentals=0,
         ),
-    )(Q, D, mask)
-    # [n_c, n_b, B_blk, C_blk] → [B, N]
-    return jnp.moveaxis(out4, 0, 2).reshape(B, N)
+    )(Q, D, bias)
+    # [n_c, n_b, C_blk, B_blk] → [B, N]
+    return jnp.transpose(out4, (1, 3, 0, 2)).reshape(B, N)
