@@ -1,4 +1,11 @@
 from .index import TokenIndex, encode_corpus
 from .search import Searcher, search_exhaustive
+from .rerank_eval import make_chunked_rerank_fn
 
-__all__ = ["TokenIndex", "encode_corpus", "Searcher", "search_exhaustive"]
+__all__ = [
+    "TokenIndex",
+    "encode_corpus",
+    "Searcher",
+    "search_exhaustive",
+    "make_chunked_rerank_fn",
+]

@@ -53,7 +53,16 @@ def _local_search(Q, D, M, *, k: int, chunk: int, use_pallas: bool = False):
     """
     n_local = D.shape[0]
     B = Q.shape[0]
-    if use_pallas and B % 8 == 0 and n_local % 8 == 0:
+    # the fused kernel needs MXU/VPU-aligned shapes: dim on full lanes,
+    # 8-row tiles; anything else (tiny test configs) takes the XLA scan
+    pallas_ok = (
+        B % 8 == 0
+        and n_local % 8 == 0
+        and D.shape[2] % 128 == 0
+        and D.shape[1] % 8 == 0
+        and Q.shape[1] % 8 == 0
+    )
+    if use_pallas and pallas_ok:
         from ..ops.maxsim_pallas import maxsim_scores_pallas
 
         b_blk = next(b for b in (32, 16, 8) if B % b == 0)
@@ -73,9 +82,21 @@ def _local_search(Q, D, M, *, k: int, chunk: int, use_pallas: bool = False):
     return vals, idx
 
 
+def default_use_pallas() -> bool:
+    """The fused Pallas kernel is the default scoring path on TPU backends;
+    the XLA chunked scan everywhere else (CPU tests, interpret mode)."""
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:  # backend init failure — stay portable
+        return False
+    return "tpu" in plat or "axon" in plat
+
+
 def make_search_fn(mesh: Optional[Mesh], n_padded_docs: int, k: int,
-                   chunk: int = 256, use_pallas: bool = False):
+                   chunk: int = 256, use_pallas: Optional[bool] = None):
     """Build the jitted search program for a fixed index shape."""
+    if use_pallas is None:
+        use_pallas = default_use_pallas()
     if mesh is None:
         @jax.jit
         def search_fn(Q, D, M):
@@ -123,6 +144,7 @@ def search_exhaustive(
     Q: jax.Array,
     k: int,
     chunk: int = 256,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Search the index with a batch of query embeddings.
 
@@ -137,7 +159,8 @@ def search_exhaustive(
       ``index.doc_ids``; padding docs never win because their mask is all
       False → score −9999·L_q).
     """
-    fn = make_search_fn(index.mesh, index.num_padded_docs, k, chunk)
+    fn = make_search_fn(index.mesh, index.num_padded_docs, k, chunk,
+                        use_pallas=use_pallas)
     vals, idx = fn(jnp.asarray(Q, dtype=index.embeddings.dtype), index.embeddings, index.mask)
     return np.asarray(vals), np.asarray(idx)
 
@@ -151,7 +174,7 @@ class Searcher:
     index: TokenIndex
     k: int = 100
     chunk: int = 256
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None  # None → on for TPU backends
 
     def __post_init__(self):
         self._fn = make_search_fn(

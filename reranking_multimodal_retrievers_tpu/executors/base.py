@@ -125,6 +125,17 @@ class BaseExecutor(MetricsProcessor):
         loader = self.train_dataloader()
         assert loader is not None, "no train dataloader configured"
         steps_per_epoch = limit_train_batches or len(loader)
+
+        # resume: explicit path, or the last checkpoint when train.resume is
+        # set (reference: ckpt_path to Trainer.fit + optimizer-state reload,
+        # `experiment.py:351-353` / `FLMR_base_executor.py:354-359`)
+        resume_path = tc.get("load_model_path") or (
+            self.ckpt_manager.resolve() if tc.get("resume") else None
+        )
+        if resume_path and os.path.exists(str(resume_path)):
+            logger.info("resuming training from %s", resume_path)
+            self.load_checkpoint(str(resume_path))
+
         self.prepare_training(steps_per_epoch * max_epochs)
 
         for epoch in range(max_epochs):

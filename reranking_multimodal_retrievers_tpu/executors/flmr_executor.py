@@ -125,9 +125,22 @@ class FLMRExecutor(BaseExecutor):
 
     # ------------------------------------------------------------ train
     def prepare_training(self, total_steps: int):
+        import jax.numpy as jnp
+
         tx, _ = self.build_optimizer(self.params, total_steps)
         self._tx = tx
         state = TrainState.create(self.params, tx)
+        packed = getattr(self, "_restored_opt_state", None)
+        if packed:
+            from ..training.checkpointing import unpack_opt_state
+
+            state = state.replace(
+                opt_state=unpack_opt_state(state.opt_state, packed)
+            )
+            step = getattr(self, "_restored_step", None)
+            if step is not None:
+                state = state.replace(step=jnp.asarray(step, jnp.int32))
+            self._restored_opt_state = None
         if self.mesh is not None:
             from ..parallel import replicate
 
@@ -163,7 +176,15 @@ class FLMRExecutor(BaseExecutor):
         return {k: float(np.asarray(v)) for k, v in metrics.items()}
 
     def state_to_save(self):
-        return self._train_state if self._train_state is not None else {"params": self.params}
+        from ..training.checkpointing import pack_opt_state
+
+        if self._train_state is None:
+            return {"params": self.params}
+        return {
+            "params": self._train_state.params,
+            "step": np.asarray(self._train_state.step),
+            "opt_state": pack_opt_state(self._train_state.opt_state),
+        }
 
     def load_checkpoint(self, path: str):
         from ..training.checkpointing import CheckpointManager
@@ -173,6 +194,11 @@ class FLMRExecutor(BaseExecutor):
             self.params = restored["params"]
         else:
             self.params = restored
+        # optimizer state + step are rebuilt against tx.init in
+        # prepare_training (reference restores optimizer state on resume,
+        # `FLMR_base_executor.py:354-359`)
+        self._restored_opt_state = restored.get("opt_state") if isinstance(restored, dict) else None
+        self._restored_step = restored.get("step") if isinstance(restored, dict) else None
 
     # ------------------------------------------------------------- eval
     def _ensure_eval_fns(self):

@@ -111,6 +111,7 @@ class FLMRForwardOutput:
     loss: jax.Array
     in_batch_negative_loss: Optional[jax.Array]
     scores: jax.Array  # [B, 1+num_negatives]
+    scores_raw: jax.Array  # [B·nway, L_d, L_q] masked token-score matrix
     query_late_interaction_output: jax.Array
     context_late_interaction_output: jax.Array
     query_mask: jax.Array
@@ -420,7 +421,7 @@ class FLMRModelForRetrieval(nn.Module):
 
         nway = num_negative_examples + 1
         Q_dup = jnp.repeat(Q, nway, axis=0)
-        scores, _ = colbert_score(Q_dup, D, D_mask)
+        scores, scores_raw = colbert_score(Q_dup, D, D_mask)
         scores = scores.reshape(-1, nway)
         labels = jnp.zeros(scores.shape[0], dtype=jnp.int32)
         loss = _softmax_ce(scores, labels)
@@ -435,6 +436,7 @@ class FLMRModelForRetrieval(nn.Module):
             loss=loss,
             in_batch_negative_loss=ib_loss,
             scores=scores,
+            scores_raw=scores_raw,
             query_late_interaction_output=Q,
             context_late_interaction_output=D,
             query_mask=query_out.query_mask,
@@ -443,9 +445,19 @@ class FLMRModelForRetrieval(nn.Module):
 
 
 def _l2_normalize(x, axis=-1, eps=1e-12):
-    return x / jnp.maximum(
-        jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True), eps
-    ).astype(x.dtype)
+    """L2-normalize with a NaN-safe gradient at zero rows.
+
+    Masked (all-zero) token rows are common here — padded/skiplisted doc
+    tokens are zeroed before normalization — and the naive
+    ``x / max(||x||, eps)`` form has a NaN *gradient* at ``x = 0`` (the chain
+    rule hits ``d sqrt(0) = inf`` before ``maximum`` can mask it). Taking the
+    max on the squared norm inside ``rsqrt`` keeps the forward value identical
+    and makes the backward pass exactly 0 at zero rows, matching torch
+    ``F.normalize``'s subgradient (reference `modeling_flmr.py:1371,1553`)."""
+    x32 = x.astype(jnp.float32)
+    sq = jnp.sum(x32 * x32, axis=axis, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(sq, eps * eps))
+    return (x32 * inv).astype(x.dtype)
 
 
 def _softmax_ce(logits, labels):

@@ -116,6 +116,17 @@ class _RerankBase(nn.Module):
         )
         self.reranker = CrossEncoder(self.config.cross_encoder, name="reranker")
 
+    def encode_vision(self, pixel_values):
+        """Run the (frozen) ViT once per *image*: returns ``(vision_cls,
+        second_last)`` — the CLS embedding and the second-to-last hidden
+        layer sans CLS (`modeling_flmr.py:1292-1311`). A TPU-first split: the
+        reference re-encodes the query image once per candidate document
+        inside the rerank forward (`rerank_model.py:333-479` via the repeated
+        pixel tensor); encoding per image and broadcasting the features over
+        the K candidates removes K−1 of every K ViT forwards."""
+        vis_out = self.context_vision_encoder(pixel_values)
+        return vis_out["last_hidden_state"][:, 0], vis_out["hidden_states"][-2][:, 1:]
+
     def encode_query(
         self,
         input_ids,
@@ -124,6 +135,7 @@ class _RerankBase(nn.Module):
         image_features=None,
         mask_instructions: bool = False,
         token_type_ids=None,
+        vision_feats=None,
     ):
         flmr = self.config.flmr
         text_out = self.context_text_encoder(
@@ -139,13 +151,19 @@ class _RerankBase(nn.Module):
         text_embeddings = text_embeddings * text_mask
 
         vision_embeddings = None
-        if pixel_values is not None or image_features is not None:
-            if pixel_values is not None:
+        if pixel_values is not None or image_features is not None or vision_feats is not None:
+            if vision_feats is not None:
+                # precomputed (vision_cls, second_last), already per-row
+                vision_cls, second_last = vision_feats
+                batch_size = vision_cls.shape[0]
+                vis_out = "precomputed"
+            elif pixel_values is not None:
                 batch_size = pixel_values.shape[0]
                 if pixel_values.ndim == 5:
                     pixel_values = pixel_values.reshape((-1,) + pixel_values.shape[2:])
                 vis_out = self.context_vision_encoder(pixel_values)
                 vision_cls = vis_out["last_hidden_state"][:, 0]
+                second_last = vis_out["hidden_states"][-2][:, 1:]
             else:
                 batch_size = image_features.shape[0]
                 vis_out = None
@@ -153,7 +171,6 @@ class _RerankBase(nn.Module):
             vision_embeddings = self.context_vision_projection(vision_cls)
             vision_embeddings = vision_embeddings.reshape(batch_size, -1, flmr.dim)
             if vis_out is not None:
-                second_last = vis_out["hidden_states"][-2][:, 1:]
                 mapped_in = self.transformer_mapping_input_linear(second_last)
                 xatt = flmr.transformer_mapping_cross_attention_length
                 enc_states = text_hidden[:, :xatt]
@@ -291,21 +308,23 @@ class FullContextRerankModel(_RerankBase):
         query_pixel_values,
         num_negative_examples: int,
         labels=None,
+        vision_feats=None,
     ):
         cfg = self.config
         nway = num_negative_examples + 1
         expanded = input_ids.shape[0]
         batch_size = expanded // nway
-        text_only = query_pixel_values is None
+        text_only = query_pixel_values is None and vision_feats is None
 
         pix = (
             None
-            if text_only
+            if (text_only or vision_feats is not None)
             else jnp.repeat(query_pixel_values, nway, axis=0)
         )
         Q, text_mask = self.encode_query(
             input_ids, attention_mask, pixel_values=pix,
             mask_instructions=False, token_type_ids=token_type_ids,
+            vision_feats=vision_feats,
         )
         reranker_inputs = self.cross_encoder_input_mapping(Q)
         if text_only:

@@ -115,3 +115,52 @@ def maxsim_scores_pallas(
     )(Q, D, bias)
     # [n_c, n_b, C_blk, B_blk] → [B, N]
     return jnp.transpose(out4, (1, 3, 0, 2)).reshape(B, N)
+
+
+def run_maxsim_benchmark(
+    B: int = 128,
+    N: int = 8192,
+    L_q: int = 128,
+    L_d: int = 128,
+    dim: int = 128,
+    B_blk: int = 16,
+    C_blk: int = 16,
+) -> float:
+    """Time the fused kernel on the current default device; returns TFLOPS.
+
+    Timing uses a dependency-chained ``lax.scan`` slope (long − short) so the
+    axon tunnel's early-ack and per-call host round-trip both cancel.
+    """
+    import time
+
+    rng = jax.random.PRNGKey(0)
+    kq, kd = jax.random.split(rng)
+    Q = jax.random.normal(kq, (B, L_q, dim), jnp.bfloat16)
+    D = jax.random.normal(kd, (N, L_d, dim), jnp.bfloat16)
+    mask = jnp.ones((N, L_d), bool)
+
+    @functools.partial(jax.jit, static_argnames="iters")
+    def chain(Q, D, iters):
+        def body(q, _):
+            scores = maxsim_scores_pallas(q, D, mask, B_blk=B_blk, C_blk=C_blk)
+            q = q + (scores.sum() * 1e-12).astype(jnp.int32).astype(q.dtype)
+            return q, scores[0, 0]
+
+        _, s = jax.lax.scan(body, Q, None, length=iters)
+        return s[-1]
+
+    n_long, n_short = 8, 2
+    float(chain(Q, D, iters=n_short))  # compile
+    float(chain(Q, D, iters=n_long))
+
+    def timed(iters):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chain(Q, D, iters=iters))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (timed(n_long) - timed(n_short)) / (n_long - n_short)
+    flops = 2 * B * N * L_d * L_q * dim
+    return flops / dt / 1e12

@@ -128,6 +128,24 @@ class CheckpointManager:
         return _partial_update(target, restored)
 
 
+def pack_opt_state(opt_state) -> Dict[str, Any]:
+    """Flatten an optax state (namedtuple pytree) into an orbax-friendly flat
+    dict of leaves. Optimizer state must survive checkpoints for resume to be
+    correct (reference restores it, `FLMR_base_executor.py:354-359`); orbax
+    round-trips dicts faithfully but not optax's namedtuple nodes, so we save
+    leaves and rebuild against a freshly ``tx.init``-ed template on restore."""
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    return {f"leaf_{i:05d}": np.asarray(jax.device_get(l)) for i, l in enumerate(leaves)}
+
+
+def unpack_opt_state(template_opt_state, packed: Dict[str, Any]):
+    """Rebuild an optax state from :func:`pack_opt_state` output using the
+    structure of a freshly initialized state."""
+    treedef = jax.tree_util.tree_structure(template_opt_state)
+    leaves = [packed[k] for k in sorted(packed.keys())]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def _partial_update(target, restored):
     """strict=False-style merge: leaves present in both (same path) are taken
     from the checkpoint; everything else keeps the target's value

@@ -109,6 +109,53 @@ def test_train_step_reduces_loss_and_respects_freezing(setup):
     assert int(jax.device_get(state.step)) == 5
 
 
+def test_training_stays_finite_with_masked_rows(setup):
+    """Regression: padded/skiplisted context tokens produce all-zero rows
+    before L2 normalization; the naive normalize had a NaN gradient at zero
+    rows which corrupted params at step 1 (every checked-in round-1 run went
+    NaN at step 2). Assert ≥10 finite, decreasing steps on a batch that
+    exercises pad + skiplist masking."""
+    cfg, model, params, rng = setup
+    params = jax.tree_util.tree_map(jnp.copy, params)
+    batch = make_batch(rng, B=8)
+    # pad tails (id 0 + attention 0) and skiplist tokens (tiny cfg: ids 5/6/7)
+    batch["context_input_ids"] = (
+        batch["context_input_ids"].at[:, 8:].set(0).at[:, 3].set(5)
+    )
+    batch["context_attention_mask"] = batch["context_attention_mask"].at[:, 8:].set(0)
+    batch["query_attention_mask"] = batch["query_attention_mask"].at[:, 6:].set(0)
+
+    # grads must be finite everywhere, including the text-encoder embedding
+    def loss_fn(p):
+        out = model.apply({"params": p}, **batch, num_negative_examples=1)
+        return out.in_batch_negative_loss
+
+    grads = jax.grad(loss_fn)(params)
+    for path, g in jax.tree_util.tree_leaves_with_path(grads):
+        assert np.all(np.isfinite(g)), jax.tree_util.keystr(path)
+
+    tx, _ = make_optimizer(
+        params, optimizer_name="AdamW", lr=1e-3, scheduler="linear",
+        num_warmup_steps=2, num_training_steps=20, grad_clip=1.0,
+        frozen_patterns=("vision_encoder",), group_patterns=("vision_projection",),
+        mapping_network_lr=1e-3,
+    )
+    mesh = make_mesh()
+    step = make_train_step(
+        lambda p, **kw: model.apply({"params": p}, **kw), tx, mesh=mesh,
+        loss_key="ib_loss",
+    )
+    state = replicate(mesh, TrainState.create(params, tx))
+    sharded = shard_batch(mesh, batch)
+    losses = []
+    for _ in range(10):
+        state, metrics = step(state, sharded)
+        losses.append(float(metrics["total_loss"]))
+        assert np.isfinite(losses[-1]), losses
+        assert float(metrics["grads_finite"]) == 1.0, losses
+    assert losses[-1] < losses[0], losses
+
+
 def test_single_device_step_matches_api(setup):
     cfg, model, params, rng = setup
     tx, _ = make_optimizer(params, lr=1e-3)
