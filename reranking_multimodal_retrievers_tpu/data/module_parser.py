@@ -9,12 +9,24 @@ post-processors tokenize/process the assembled segments into fixed-shape
 NumPy arrays ready for the TPU input pipeline.
 
 Implemented parsers: QuestionInput (`:36`), InstructionInput (`:54`),
-TextBasedVisionInput (`:88`), VisionInput (`:167`), KnowledgeInput (`:233`),
-SimilarityOutput (`:269`), GenerationOutput (`:154`).
+EmptyTextInput (`:79`), TextBasedVisionInput (`:88`), VisionInput (`:167`),
+KnowledgeInput (`:233`), PassageVisionInput (`:247`), SimilarityOutput
+(`:269`), GenerationOutput (`:154`).
 Post-processors: PostProcessInputTokenization (`:351`),
+PostProcessDecoderInputTokenization (`:374`),
+PostProcessOutputTokenization (`:398`, pad→−100 label masking),
+PostProcessBlipOutputTokenization (`:439`),
+PostProcessColBERT{Question,Item}InputTokenization (`:484,620`),
 PostProcessFLMRQuestionInputTokenization (`:506`),
+PostProcessLLaVAQuestionInputTokenization (`:530`, prompt template +
+image/instruction/question masks),
 PostProcessFLMRItemInputTokenization (`:641`),
-PostProcessVisionInputProcessing (`:922`), PostProcessConcatenateLabels (`:906`).
+PostProcessQWenQuestionInputTokenization (`:663`, chat-template prompt),
+PostProcessVisionInputProcessing (`:922`),
+PostProcessBlip2VisionInputProcessing (`:933`),
+PostProcessVisionInputFromEmbeddings (`:949`),
+PostProcessItemVisionInputFromEmbeddings (`:969`),
+PostProcessConcatenateLabels (`:906`).
 """
 
 from __future__ import annotations
@@ -76,8 +88,24 @@ class ModuleParser:
             images.extend(sample["ROIs"])
         return {"images": images}
 
+    def EmptyTextInput(self, sample, module) -> Dict:
+        """Reference `:79-86` — a no-text placeholder module."""
+        return {"text_sequence": ""}
+
     def KnowledgeInput(self, sample, module) -> Dict:
         return {"text_sequence": _wrap(sample.get("passage_content", "") or "", module.get("separation_tokens", {}))}
+
+    def PassageVisionInput(self, sample, module) -> Dict:
+        """Passage-side image (multimodal docs, reference `:247-267`)."""
+        option = module.get("option", "from_file")
+        if option == "from_embeddings" and sample.get("passage_image_features") is not None:
+            return {"image_features": np.asarray(sample["passage_image_features"], np.float32)}
+        path = sample.get("passage_img_path")
+        if path:
+            from PIL import Image
+
+            return {"images": [Image.open(path).convert("RGB")]}
+        return {"images": []}
 
     # ----------------------------------------------------- output parsers
     def GenerationOutput(self, sample, module) -> Dict:
@@ -161,6 +189,183 @@ class ModuleParser:
             max_length=module.get("max_length", self.config.get("max_target_length", 32)),
         )
         return {"labels": enc["input_ids"]}
+
+    # --- decoder/output tokenization (reference `:374-483`) ---------------
+    def _plain_tokenizer(self, tok):
+        """HF tokenizer behind our marker-wrapping tokenizers."""
+        return getattr(tok, "tok", None) or getattr(tok, "tokenizer", None) or tok
+
+    def PostProcessDecoderInputTokenization(self, data, module):
+        """Reference `:374-396` — context sequences for a seq2seq decoder."""
+        tok = self._plain_tokenizer(self.decoder_tokenizer)
+        enc = tok(
+            data["text_sequences"],
+            padding="max_length",
+            truncation=True,
+            max_length=module.get(
+                "max_length", self.config.get("max_decoder_source_length", 512)
+            ),
+            return_tensors="np",
+        )
+        return {
+            "decoder_input_ids": enc["input_ids"].astype(np.int32),
+            "decoder_input_attention_mask": enc["attention_mask"].astype(np.int32),
+        }
+
+    def PostProcessOutputTokenization(self, data, module):
+        """Reference `:398-437`: teacher-forcing targets with pad→−100 label
+        masking (HF loss-ignore convention)."""
+        tok = self._plain_tokenizer(self.decoder_tokenizer)
+        enc = tok(
+            data["text_sequences"],
+            padding="max_length",
+            truncation=True,
+            max_length=module.get(
+                "max_length", self.config.get("max_target_length", 32)
+            ),
+            return_tensors="np",
+        )
+        ids = enc["input_ids"].astype(np.int32)
+        pad_id = tok.pad_token_id if tok.pad_token_id is not None else 0
+        labels = np.where(ids == pad_id, -100, ids).astype(np.int32)
+        return {
+            "labels": labels,
+            "output_sequence_ids": ids,
+            "output_sequence_attention_mask": enc["attention_mask"].astype(np.int32),
+        }
+
+    def PostProcessBlipOutputTokenization(self, data, module):
+        """Reference `:439-483` — same as output tokenization but through the
+        processor's nested tokenizer (Blip2Processor.tokenizer)."""
+        return self.PostProcessOutputTokenization(data, module)
+
+    # ColBERT-marker tokenization: our FLMR tokenizers ARE the ColBERT
+    # tensorize path ([Q]/[D] markers + [MASK] padding), so these are exact
+    # role equivalents (reference `:484-505,620-639`).
+    def PostProcessColBERTQuestionInputTokenization(self, data, module):
+        return self.PostProcessFLMRQuestionInputTokenization(data, module)
+
+    def PostProcessColBERTItemInputTokenization(self, data, module):
+        return self.PostProcessFLMRItemInputTokenization(data, module)
+
+    LLAVA_TASK_PREFIX = (
+        "A chat between a curious human and an artificial intelligence "
+        "assistant. The assistant gives helpful, detailed, and polite answers "
+        "to the human's questions. USER: "
+    )
+
+    def PostProcessLLaVAQuestionInputTokenization(self, data, module):
+        """Reference `:530-618`: LLaVA conversation-template prompt plus
+        image/instruction/question span masks. Tokenizer-agnostic: the
+        separator and ``<image>`` token ids are derived from the tokenizer
+        instead of hard-coding the LLaMA vocab (`sep_id=29901`)."""
+        tok = self._plain_tokenizer(self.tokenizer)
+        img_token_span = module.get("img_token_span", 1176)
+        texts = [
+            s.replace(".:", ":").replace("?:", ":") + " <image>\n"
+            for s in data["text_sequences"]
+        ]
+        if "<image>" not in tok.get_vocab():
+            tok.add_tokens(["<image>"])
+        enc = tok(
+            [self.LLAVA_TASK_PREFIX + s for s in texts],
+            padding="max_length",
+            truncation=True,
+            max_length=module.get(
+                "max_length", self.config.get("max_source_length", 128)
+            ),
+            return_tensors="np",
+        )
+        ids = enc["input_ids"].astype(np.int32)
+        sep_id = tok.convert_tokens_to_ids(":")
+        img_id = tok.convert_tokens_to_ids("<image>")
+        max_len = ids.shape[1]
+        image_mask, instruction_mask, question_mask = [], [], []
+        for row in ids:
+            seps = np.where(row == sep_id)[0]
+            sep_index = int(seps[1]) if len(seps) > 1 else (int(seps[0]) if len(seps) else 0)
+            imgs = np.where(row == img_id)[0]
+            img_index = int(imgs[0]) if len(imgs) else max_len - 1
+            # all masks cover the image-expanded sequence (the <image> token
+            # position is replaced by img_token_span vision positions); the
+            # reference's three masks have inconsistent lengths
+            # (`module_parser.py:578-592`) — normalized here
+            total = max_len + img_token_span - 1
+            image_mask.append(
+                [0] * img_index + [1] * img_token_span
+                + [0] * (total - img_index - img_token_span)
+            )
+            instruction_mask.append(
+                [1] * (sep_index + 1) + [0] * (total - sep_index - 1)
+            )
+            q_start = sep_index + 1
+            q_len = max(img_index - sep_index - 1, 0)
+            question_mask.append(
+                [0] * q_start + [1] * q_len + [0] * (total - q_start - q_len)
+            )
+        return {
+            "input_ids": ids,
+            "attention_mask": enc["attention_mask"].astype(np.int32),
+            "image_mask": np.asarray(image_mask, np.int32),
+            "instruction_mask": np.asarray(instruction_mask, np.int32),
+            "question_mask": np.asarray(question_mask, np.int32),
+        }
+
+    def PostProcessQWenQuestionInputTokenization(self, data, module):
+        """Reference `:663-904` — QWen-VL chat-template prompts. Rebuilt
+        tokenizer-agnostically: the im_start/im_end chat markers are used when
+        the tokenizer defines them, else plain text."""
+        tok = self._plain_tokenizer(self.tokenizer)
+        system = module.get("system_message", "You are a helpful assistant.")
+        has_chat = hasattr(tok, "im_start_id")
+        if has_chat:
+            prompts = [
+                f"<|im_start|>system\n{system}<|im_end|>\n"
+                f"<|im_start|>user\n{s}<|im_end|>\n<|im_start|>assistant\n"
+                for s in data["text_sequences"]
+            ]
+        else:
+            prompts = [f"{system} {s}" for s in data["text_sequences"]]
+        enc = tok(
+            prompts,
+            padding="max_length",
+            truncation=True,
+            max_length=module.get(
+                "max_length", self.config.get("max_source_length", 128)
+            ),
+            return_tensors="np",
+        )
+        return {
+            "input_ids": enc["input_ids"].astype(np.int32),
+            "attention_mask": enc["attention_mask"].astype(np.int32),
+        }
+
+    def PostProcessBlip2VisionInputProcessing(self, data, module):
+        """Reference `:933-948` — passage/decoder-side pixel values."""
+        images = data.get("images", [])
+        if not images:
+            return {}
+        return {"decoder_pixel_values": self.image_processor(images)}
+
+    def PostProcessVisionInputFromEmbeddings(self, data, module):
+        """Reference `:949-967` — stack precomputed image features."""
+        feats = data.get("image_features")
+        if feats is None:
+            return {}
+        return {"image_features": np.stack([np.asarray(f, np.float32) for f in feats])
+                if isinstance(feats, (list, tuple)) else np.asarray(feats, np.float32)}
+
+    def PostProcessItemVisionInputFromEmbeddings(self, data, module):
+        """Reference `:969-987` — passage-side feature stack."""
+        feats = data.get("image_features")
+        if feats is None:
+            return {}
+        stacked = (
+            np.stack([np.asarray(f, np.float32) for f in feats])
+            if isinstance(feats, (list, tuple))
+            else np.asarray(feats, np.float32)
+        )
+        return {"item_image_features": stacked}
 
 
 def _wrap(text: str, sep: Dict) -> str:

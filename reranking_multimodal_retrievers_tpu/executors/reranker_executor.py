@@ -78,18 +78,63 @@ class RerankerExecutor(BaseExecutor):
         elif "decoder_reranker" in self.modules:
             self.reranker_family = "decoder"
             dec_kwargs = dict(mc.get("decoder", {}))
-            self.reranker_config = DecoderRerankConfig(
-                text_config=BertConfig(**dec_kwargs.pop("text_config", {})),
-                loss_fn=loss_fn, pos_weight=pos_weight, **dec_kwargs,
-            )
-            cls = (
-                DecoderHeadRerankModel
-                if mc.get("decoder_head", False)
-                else DecoderRerankModel
-            )
-            self.reranker = cls(self.reranker_config)
+            backbone = dec_kwargs.pop("backbone", "native")
+            if backbone == "blip2":
+                # the reference's actual backbone: BLIP-2 (vision + Q-Former
+                # + Flan-T5 with LoRA), `decoder_rerank_model.py:89-120`
+                from ..models.blip2 import (
+                    Blip2Config, Blip2VisionConfig, Blip2QFormerConfig,
+                )
+                from ..models.t5 import T5Config
+                from ..models.rerankers import (
+                    Blip2DecoderRerankModel, Blip2RerankConfig,
+                )
+
+                blip2_cfg = Blip2Config(
+                    vision_config=Blip2VisionConfig(
+                        **dec_kwargs.pop("vision_config", {})
+                    ),
+                    qformer_config=Blip2QFormerConfig(
+                        **dec_kwargs.pop("qformer_config", {})
+                    ),
+                    text_config=T5Config(**dec_kwargs.pop("text_config", {})),
+                    num_query_tokens=dec_kwargs.pop("num_query_tokens", 32),
+                )
+                self.reranker_config = Blip2RerankConfig(
+                    blip2=blip2_cfg, loss_fn=loss_fn, pos_weight=pos_weight,
+                    **dec_kwargs,
+                )
+                self.reranker = Blip2DecoderRerankModel(self.reranker_config)
+            else:
+                self.reranker_config = DecoderRerankConfig(
+                    text_config=BertConfig(**dec_kwargs.pop("text_config", {})),
+                    loss_fn=loss_fn, pos_weight=pos_weight, **dec_kwargs,
+                )
+                cls = (
+                    DecoderHeadRerankModel
+                    if mc.get("decoder_head", False)
+                    else DecoderRerankModel
+                )
+                self.reranker = cls(self.reranker_config)
+            ckpt_dir = mc.get("decoder_checkpoint_dir")
+            if ckpt_dir and os.path.isdir(ckpt_dir) and backbone == "blip2":
+                from ..models.hf_bridge import (
+                    load_torch_checkpoint_dir, blip2_params,
+                )
+
+                logger.info("bridging BLIP-2 checkpoint from %s", ckpt_dir)
+                self._bridged_decoder_params = {
+                    "model": blip2_params(
+                        load_torch_checkpoint_dir(ckpt_dir),
+                        self.reranker_config.blip2,
+                    )
+                }
+            else:
+                self._bridged_decoder_params = None
         else:
-            self.reranker_family = "full_context"
+            # encoder family: joint-retokenization FullContext when flagged,
+            # otherwise the spliced-query RerankModel — the reference's
+            # module→class mapping (`Reranker_base_executor.py:151-183`)
             flmr_cfg = flmr_config_from(
                 mc,
                 query_tokenizer=self.tokenizers.get("tokenizer"),
@@ -103,7 +148,14 @@ class RerankerExecutor(BaseExecutor):
                 max_query_length=mc.get("max_query_length", 32),
                 max_decoder_source_length=mc.get("max_decoder_source_length", 512),
             )
-            self.reranker = FullContextRerankModel(self.reranker_config)
+            if "full_context_reranker" in self.modules:
+                self.reranker_family = "full_context"
+                self.reranker = FullContextRerankModel(self.reranker_config)
+            else:
+                from ..models.rerankers import RerankModel
+
+                self.reranker_family = "spliced"
+                self.reranker = RerankModel(self.reranker_config)
 
         # frozen retriever for interaction / attention-fusion modules
         self.retriever = None
@@ -142,6 +194,9 @@ class RerankerExecutor(BaseExecutor):
         batch = self._example_inputs(batch_size=1, nway=2)
         variables = self.reranker.init(key, **batch, num_negative_examples=1)
         params = variables["params"]
+        if getattr(self, "_bridged_decoder_params", None):
+            params = self._bridged_decoder_params
+            self._bridged_decoder_params = None
         self._retriever_params = None
         if self.retriever is not None:
             img = self.retriever_config.vision_config.image_size
@@ -169,16 +224,30 @@ class RerankerExecutor(BaseExecutor):
                 context_mask=jnp.ones((batch_size * nway, 12), jnp.int32),
             )
         if self.reranker_family == "decoder":
+            vc = (
+                self.reranker_config.blip2.vision_config
+                if hasattr(self.reranker_config, "blip2")
+                else self.reranker_config.vision_config
+            )
             return dict(
                 input_ids=jnp.ones((batch_size * nway, 16), jnp.int32),
                 attention_mask=jnp.ones((batch_size * nway, 16), jnp.int32),
                 pixel_values=jnp.zeros(
-                    (batch_size, 3, self.reranker_config.vision_config.image_size,
-                     self.reranker_config.vision_config.image_size), jnp.float32,
+                    (batch_size, 3, vc.image_size, vc.image_size), jnp.float32,
                 ),
             )
         img = self.reranker_config.flmr.vision_config.image_size
         L = self.reranker_config.max_decoder_source_length
+        if self.reranker_family == "spliced":
+            qlen = self.config.get_path("model_config.max_query_length", 32)
+            dlen = self.config.get_path("model_config.doc_maxlen", 64)
+            return dict(
+                query_input_ids=jnp.ones((batch_size, qlen), jnp.int32),
+                query_attention_mask=jnp.ones((batch_size, qlen), jnp.int32),
+                query_pixel_values=jnp.zeros((batch_size, 3, img, img), jnp.float32),
+                context_input_ids=jnp.ones((batch_size * nway, dlen), jnp.int32),
+                context_attention_mask=jnp.ones((batch_size * nway, dlen), jnp.int32),
+            )
         return dict(
             input_ids=jnp.ones((batch_size * nway, L), jnp.int32),
             attention_mask=jnp.ones((batch_size * nway, L), jnp.int32),
@@ -253,6 +322,12 @@ class RerankerExecutor(BaseExecutor):
         tx, _ = self.build_optimizer(self.params, total_steps)
         self._tx = tx
         self._opt_state = tx.init(self.params)
+        packed = getattr(self, "_restored_opt_state", None)
+        if packed:
+            from ..training.checkpointing import unpack_opt_state
+
+            self._opt_state = unpack_opt_state(self._opt_state, packed)
+            self._restored_opt_state = None
         nway = self.num_negative_samples + 1
 
         @jax.jit
@@ -316,7 +391,24 @@ class RerankerExecutor(BaseExecutor):
         import jax.numpy as jnp
 
         if self.reranker_family == "interaction":
-            return self._interaction_inputs(batch, contents, nway)
+            model_batch = self._interaction_inputs(batch, contents, nway)
+            self._maybe_attach_fusion(model_batch, batch, contents, nway)
+            return model_batch
+        if self.reranker_family == "spliced":
+            # raw query tokens + separately tokenized contexts; the model
+            # splices them (reference `rerank_model.py:204-224`)
+            ct = self.tokenizers["decoder_tokenizer"]
+            dlen = self.config.get_path("model_config.doc_maxlen", 64)
+            enc_d = ct(contents, max_length=dlen)
+            model_batch = dict(
+                query_input_ids=jnp.asarray(batch["input_ids"]),
+                query_attention_mask=jnp.asarray(batch["attention_mask"]),
+                query_pixel_values=jnp.asarray(batch["pixel_values"]),
+                context_input_ids=jnp.asarray(enc_d["input_ids"]),
+                context_attention_mask=jnp.asarray(enc_d["attention_mask"]),
+            )
+            self._maybe_attach_fusion(model_batch, batch, contents, nway)
+            return model_batch
         if self.reranker_family == "decoder":
             from ..models.rerankers.decoder import prepare_decoder_rerank_inputs
 
@@ -363,6 +455,40 @@ class RerankerExecutor(BaseExecutor):
         }
         return out
 
+    def _maybe_attach_fusion(self, model_batch, batch, contents, nway):
+        """PreFLMR attention fusion: the frozen retriever's masked token-score
+        matrix becomes an additive attention bias in the cross-encoder
+        (reference `Reranker_base_executor.py:590-592` →
+        `rerank_model.py:276-319`)."""
+        if "preflmr_attention_fusion" not in self.modules:
+            return
+        import jax.numpy as jnp
+
+        assert self.retriever is not None
+        ct = self.tokenizers["decoder_tokenizer"]
+        dlen = self.config.get_path("model_config.doc_maxlen", 64)
+        if "context_input_ids" in model_batch:
+            ctx_ids = model_batch["context_input_ids"]
+            ctx_mask = model_batch["context_attention_mask"]
+        else:
+            enc_d = ct(contents, max_length=dlen)
+            ctx_ids = jnp.asarray(enc_d["input_ids"])
+            ctx_mask = jnp.asarray(enc_d["attention_mask"])
+        out = self.retriever.apply(
+            {"params": self._retriever_params},
+            query_input_ids=jnp.asarray(batch["input_ids"]),
+            query_attention_mask=jnp.asarray(batch["attention_mask"]),
+            query_pixel_values=(
+                jnp.asarray(batch["pixel_values"]) if "pixel_values" in batch else None
+            ),
+            context_input_ids=ctx_ids,
+            context_attention_mask=ctx_mask,
+            num_negative_examples=nway - 1,
+            use_in_batch_negatives=False,
+        )
+        model_batch["preflmr_scores"] = out.scores_raw
+        model_batch["fusion_multiplier"] = self.fusion_multiplier
+
     def _interaction_inputs(self, batch, contents, nway):
         """Run the frozen retriever to produce late-interaction features
         (reference `:579-587`)."""
@@ -394,13 +520,21 @@ class RerankerExecutor(BaseExecutor):
         )
 
     def state_to_save(self):
-        return {"params": self.params}
+        from ..training.checkpointing import pack_opt_state
+
+        state = {"params": self.params}
+        if getattr(self, "_opt_state", None) is not None:
+            state["opt_state"] = pack_opt_state(self._opt_state)
+        return state
 
     def load_checkpoint(self, path: str):
         from ..training.checkpointing import CheckpointManager
 
         restored = CheckpointManager.restore(path)
         self.params = restored.get("params", restored)
+        # optimizer state is rebuilt against tx.init in prepare_training —
+        # stash the packed leaves until then
+        self._restored_opt_state = restored.get("opt_state")
 
     # ------------------------------------------------------------- eval
     def evaluate(self, mode: str = "test") -> ConfigDict:
@@ -413,12 +547,41 @@ class RerankerExecutor(BaseExecutor):
         K = self.docs_to_rerank
         batch_results: List[dict] = []
 
-        @jax.jit
-        def fwd(params, model_batch):
-            out = self.reranker.apply(
-                {"params": params}, **model_batch, num_negative_examples=K - 1
-            )
-            return out.logits
+        # the [B·K, L] joint forward that replaces the reference's per-query
+        # loop (`Reranker_base_executor.py:785-935`): chunked so HBM holds one
+        # chunk's activations, sharded over the mesh's data axis when present
+        # (the reference instead *halves* batches on OOM, `:838-919`, and
+        # leaves other GPUs idle)
+        chunk_size = self.config.get_path("model_config.eval_chunk_size", 64)
+        if self.reranker_family == "full_context":
+            if self._rerank_fn is None:
+                from ..engine import make_chunked_rerank_fn
+
+                self._rerank_fn = make_chunked_rerank_fn(
+                    self.reranker, nway=K, chunk_size=chunk_size, mesh=self.mesh
+                )
+            chunked = self._rerank_fn
+
+            def fwd(params, model_batch):
+                return chunked(
+                    params,
+                    model_batch["input_ids"],
+                    model_batch["attention_mask"],
+                    model_batch["token_type_ids"],
+                    model_batch.get("query_pixel_values"),
+                )
+        else:
+            if self._rerank_fn is None:
+                @jax.jit
+                def plain_fwd(params, model_batch):
+                    out = self.reranker.apply(
+                        {"params": params}, **model_batch,
+                        num_negative_examples=K - 1,
+                    )
+                    return out.logits
+
+                self._rerank_fn = plain_fwd
+            fwd = self._rerank_fn
 
         for name, loader in self.eval_dataloaders(mode).items():
             for bi, batch in enumerate(loader):
@@ -426,10 +589,9 @@ class RerankerExecutor(BaseExecutor):
                     break
                 n_rows = len(batch["question_ids"])
                 real = batch.get("_real_count", n_rows)
-                # one [B·K, L] forward for the whole eval batch — the batched
-                # program that replaces the reference's per-query loop
-                # (`Reranker_base_executor.py:785-935`); queries with no
-                # static results get a placeholder doc list and are dropped
+                # queries with no static retrieval results keep a placeholder
+                # doc list and are *marked*, not dropped — dropping silently
+                # overstates coverage in the metrics
                 per_q_docs = []
                 for qi in range(n_rows):
                     docs = self.static_retrieve(batch["question_ids"][qi])
@@ -448,8 +610,9 @@ class RerankerExecutor(BaseExecutor):
                 logits = np.asarray(fwd(self.params, model_batch)).reshape(n_rows, K)
                 for qi in range(real):
                     docs = per_q_docs[qi]
-                    if not self.questionId2topPassages.get(str(batch["question_ids"][qi])):
-                        continue
+                    missing_static = not self.questionId2topPassages.get(
+                        str(batch["question_ids"][qi])
+                    )
                     row = logits[qi]
                     order = np.argsort(-row)
                     entry = {
@@ -469,6 +632,8 @@ class RerankerExecutor(BaseExecutor):
                             for d in docs
                         ],
                     }
+                    if missing_static:
+                        entry["static_retrieval_missing"] = True
                     if "answers" in batch:
                         entry["answers"] = batch["answers"][qi]
                         entry["gold_answer"] = batch["gold_answer"][qi]

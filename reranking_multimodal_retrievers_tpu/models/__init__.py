@@ -1,8 +1,21 @@
 from .bert import BertConfig, BertModel, BertEncoder
 from .vit import CLIPVisionConfig, CLIPVisionModel
 from .flmr import FLMRConfig, FLMRModelForRetrieval, FLMRQueryOutput, FLMRContextOutput
+from .t5 import T5Config, T5ForConditionalGeneration
+from .blip2 import (
+    Blip2Config,
+    Blip2VisionConfig,
+    Blip2QFormerConfig,
+    Blip2ForConditionalGeneration,
+)
 
 __all__ = [
+    "T5Config",
+    "T5ForConditionalGeneration",
+    "Blip2Config",
+    "Blip2VisionConfig",
+    "Blip2QFormerConfig",
+    "Blip2ForConditionalGeneration",
     "BertConfig",
     "BertModel",
     "BertEncoder",

@@ -158,6 +158,187 @@ def clip_vision_params(sd: Dict[str, np.ndarray]) -> dict:
     return p
 
 
+def _t5_linear(sd, torch_name, lora_r: int = 0):
+    """T5 linears are bias-free; with LoRA the Flax module nests the frozen
+    kernel under ``base`` and fresh adapters are synthesized (``lora_b`` is
+    zero, so the bridged model equals the pretrained one — peft's own init)."""
+    w = sd[f"{torch_name}.weight"]  # torch [out, in]
+    p = {"kernel": np.ascontiguousarray(w.T)}
+    if lora_r <= 0:
+        return p
+    rng = np.random.default_rng(abs(hash(torch_name)) % (2**32))
+    return {
+        "base": p,
+        "lora_a": (rng.normal(0, 1e-2, size=(w.shape[1], lora_r))).astype(w.dtype),
+        "lora_b": np.zeros((lora_r, w.shape[0]), w.dtype),
+    }
+
+
+def _t5_layernorm(sd, torch_name):
+    return {"weight": sd[f"{torch_name}.weight"]}
+
+
+def t5_attention_params(sd, prefix, lora_r: int = 0, rel_bias: bool = False):
+    p = {
+        "q": _t5_linear(sd, f"{prefix}.q", lora_r=lora_r),
+        "k": _t5_linear(sd, f"{prefix}.k"),
+        "v": _t5_linear(sd, f"{prefix}.v", lora_r=lora_r),
+        "o": _t5_linear(sd, f"{prefix}.o"),
+    }
+    if rel_bias and f"{prefix}.relative_attention_bias.weight" in sd:
+        p["relative_attention_bias"] = _embed(sd, f"{prefix}.relative_attention_bias")
+    return p
+
+
+def t5_ff_params(sd, prefix, gated: bool):
+    if gated:
+        return {
+            "wi_0": _t5_linear(sd, f"{prefix}.wi_0"),
+            "wi_1": _t5_linear(sd, f"{prefix}.wi_1"),
+            "wo": _t5_linear(sd, f"{prefix}.wo"),
+        }
+    return {"wi": _t5_linear(sd, f"{prefix}.wi"), "wo": _t5_linear(sd, f"{prefix}.wo")}
+
+
+def t5_stack_params(sd, prefix, num_layers, is_decoder, gated, lora_r=0):
+    """HF ``T5Stack`` (``encoder.block.N.layer.M...``) → our ``T5Stack``.
+    HF sublayer indices: 0=self-attn, (decoder) 1=cross-attn, last=FFN."""
+    p = {}
+    for i in range(num_layers):
+        b = f"{prefix}.block.{i}"
+        blk = {
+            "self_attn": t5_attention_params(
+                sd, f"{b}.layer.0.SelfAttention", lora_r=lora_r, rel_bias=(i == 0)
+            ),
+            "self_attn_norm": _t5_layernorm(sd, f"{b}.layer.0.layer_norm"),
+        }
+        ff_idx = 1
+        if is_decoder:
+            blk["cross_attn"] = t5_attention_params(
+                sd, f"{b}.layer.1.EncDecAttention", lora_r=lora_r
+            )
+            blk["cross_attn_norm"] = _t5_layernorm(sd, f"{b}.layer.1.layer_norm")
+            ff_idx = 2
+        blk["ff"] = t5_ff_params(sd, f"{b}.layer.{ff_idx}.DenseReluDense", gated)
+        blk["ff_norm"] = _t5_layernorm(sd, f"{b}.layer.{ff_idx}.layer_norm")
+        p[f"block_{i}"] = blk
+    p["final_norm"] = _t5_layernorm(sd, f"{prefix}.final_layer_norm")
+    return p
+
+
+def t5_params(sd: Dict[str, np.ndarray], config) -> dict:
+    """HF ``T5ForConditionalGeneration`` state dict → our Flax params.
+
+    ``config`` is our :class:`~.t5.T5Config`; ``config.lora_r > 0`` nests the
+    q/v kernels under LoRA bases (zero-initialized adapters, so outputs match
+    the pretrained torch model exactly — reference wraps with peft the same
+    way, `decoder_rerank_model.py:103-114`)."""
+    p = {
+        "shared": _embed(sd, "shared"),
+        "encoder": t5_stack_params(
+            sd, "encoder", config.num_layers, False, config.is_gated_act,
+            config.lora_r,
+        ),
+        "decoder": t5_stack_params(
+            sd, "decoder", config.num_decoder_layers, True, config.is_gated_act,
+            config.lora_r,
+        ),
+    }
+    if not config.tie_word_embeddings:
+        p["lm_head"] = _linear(sd, "lm_head")
+    return p
+
+
+def blip2_vision_params(sd: Dict[str, np.ndarray]) -> dict:
+    """HF ``Blip2VisionModel`` state dict (``vision_model.*`` stripped) → our
+    ``Blip2VisionModel`` params. Conv kernel OIHW → HWIO; class/position
+    embeddings are plain [1, ...] parameters in BLIP-2 (not Embeds)."""
+    layer_ids = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"encoder\.layers\.(\d+)\.", k))
+        }
+    )
+    p = {
+        "embeddings": {
+            "class_embedding": sd["embeddings.class_embedding"],
+            "position_embedding": sd["embeddings.position_embedding"],
+            "patch_embedding": {
+                "kernel": np.ascontiguousarray(
+                    sd["embeddings.patch_embedding.weight"].transpose(2, 3, 1, 0)
+                ),
+                "bias": sd["embeddings.patch_embedding.bias"],
+            },
+        },
+        "post_layernorm": _layernorm(sd, "post_layernorm"),
+    }
+    for i in layer_ids:
+        pre = f"encoder.layers.{i}"
+        p[f"layer_{i}_attn"] = {
+            "qkv": _linear(sd, f"{pre}.self_attn.qkv"),
+            "projection": _linear(sd, f"{pre}.self_attn.projection"),
+        }
+        p[f"layer_{i}_norm1"] = _layernorm(sd, f"{pre}.layer_norm1")
+        p[f"layer_{i}_norm2"] = _layernorm(sd, f"{pre}.layer_norm2")
+        p[f"layer_{i}_fc1"] = _linear(sd, f"{pre}.mlp.fc1")
+        p[f"layer_{i}_fc2"] = _linear(sd, f"{pre}.mlp.fc2")
+    return p
+
+
+def blip2_qformer_params(sd: Dict[str, np.ndarray], query_tokens: np.ndarray) -> dict:
+    """HF ``Blip2QFormerModel`` (``qformer.*`` stripped) + top-level
+    ``query_tokens`` → our ``Blip2QFormer`` params (query branch only)."""
+    layer_ids = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"encoder\.layer\.(\d+)\.", k))
+        }
+    )
+    p = {
+        "query_tokens": query_tokens,
+        "layernorm": _layernorm(sd, "layernorm"),
+    }
+    for i in layer_ids:
+        pre = f"encoder.layer.{i}"
+        p[f"layer_{i}_attention"] = {
+            "query": _linear(sd, f"{pre}.attention.attention.query"),
+            "key": _linear(sd, f"{pre}.attention.attention.key"),
+            "value": _linear(sd, f"{pre}.attention.attention.value"),
+            "out": _linear(sd, f"{pre}.attention.output.dense"),
+            "layernorm": _layernorm(sd, f"{pre}.attention.output.LayerNorm"),
+        }
+        if f"{pre}.crossattention.attention.query.weight" in sd:
+            p[f"layer_{i}_crossattention"] = {
+                "query": _linear(sd, f"{pre}.crossattention.attention.query"),
+                "key": _linear(sd, f"{pre}.crossattention.attention.key"),
+                "value": _linear(sd, f"{pre}.crossattention.attention.value"),
+                "out": _linear(sd, f"{pre}.crossattention.output.dense"),
+                "layernorm": _layernorm(sd, f"{pre}.crossattention.output.LayerNorm"),
+            }
+        p[f"layer_{i}_intermediate_query"] = _linear(sd, f"{pre}.intermediate_query.dense")
+        p[f"layer_{i}_output_query"] = _linear(sd, f"{pre}.output_query.dense")
+        p[f"layer_{i}_output_query_norm"] = _layernorm(sd, f"{pre}.output_query.LayerNorm")
+    return p
+
+
+def blip2_params(sd: Dict[str, np.ndarray], config) -> dict:
+    """HF ``Blip2ForConditionalGeneration`` state dict → our Flax params.
+    ``config`` is our :class:`~.blip2.Blip2Config`; the LM must be a T5
+    (Flan-T5 per the reference configs, `decoder_rerank_model.py:89-96`)."""
+    return {
+        "vision_model": blip2_vision_params(_strip_prefix(sd, "vision_model.")),
+        "qformer": blip2_qformer_params(
+            _strip_prefix(sd, "qformer."), sd["query_tokens"][0:1]
+        ),
+        "language_projection": _linear(sd, "language_projection"),
+        "language_model": t5_params(
+            _strip_prefix(sd, "language_model."), config.text_config
+        ),
+    }
+
+
 def vision_projection_params(sd, prefix):
     """Reference ``FLMRMultiLayerPerceptron`` (Linear,Tanh,Linear as
     ``model.0``/``model.2``) → our ``VisionProjection`` fc1/fc2."""

@@ -6,11 +6,15 @@ from .decoder import (
     DecoderRerankModel,
     DecoderHeadRerankModel,
     DecoderRerankConfig,
+    Blip2DecoderRerankModel,
+    Blip2RerankConfig,
     VisionSeq2SeqLM,
     prepare_decoder_rerank_inputs,
 )
 
 __all__ = [
+    "Blip2DecoderRerankModel",
+    "Blip2RerankConfig",
     "CrossEncoder",
     "prepare_logits_labels",
     "rerank_loss",

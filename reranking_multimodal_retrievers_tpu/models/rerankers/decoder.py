@@ -263,6 +263,101 @@ class DecoderHeadRerankModel(nn.Module):
         )
 
 
+class Blip2DecoderRerankModel(nn.Module):
+    """Model A with the real BLIP-2 backbone (vision + Q-Former + Flan-T5
+    with LoRA) — the reference's best reranker
+    (`decoder_rerank_model.py:81-159`; OK-VQA R@5 0.40/0.36, BASELINE.md).
+
+    Bridge pretrained ``Salesforce/blip2-flan-t5-*`` weights via
+    ``hf_bridge.blip2_params``. Scoring matches the reference exactly:
+    seq2seq CE on the yes/no target and ranking by
+    softmax(yes,no)[yes] at the first decoder step (`:147-159`).
+
+    TPU-first: the vision+Q-Former prefix is computed once per *image* and
+    broadcast over the candidate documents (``vision_feats``), instead of the
+    reference's ``pixel_values.repeat_interleave(docs_per_query)``
+    (`:145`)."""
+
+    config: "Blip2RerankConfig"
+
+    def setup(self):
+        from ..blip2 import Blip2ForConditionalGeneration
+
+        self.model = Blip2ForConditionalGeneration(
+            self.config.blip2, name="model"
+        )
+
+    def encode_vision(self, pixel_values):
+        """[B, num_query_tokens, d_model] projected Q-Former prefix."""
+        from ..blip2 import Blip2ForConditionalGeneration
+
+        return self.model.vision_prefix(pixel_values)
+
+    def __call__(
+        self,
+        input_ids,
+        attention_mask,
+        pixel_values,
+        num_negative_examples: int,
+        labels=None,
+        vision_feats=None,
+    ):
+        cfg = self.config
+        expanded = input_ids.shape[0]
+        nway = num_negative_examples + 1
+        batch_size = expanded // nway
+        if labels is None:
+            lbl = jnp.tile(
+                jnp.zeros((nway,), jnp.int32).at[0].set(1), (batch_size,)
+            )
+        else:
+            lbl = jnp.asarray(labels, jnp.int32).reshape(-1)
+        target = jnp.where(lbl == 1, cfg.yes_token_id, cfg.no_token_id)
+
+        prefix = None
+        if vision_feats is not None:
+            prefix = vision_feats
+        elif pixel_values is not None:
+            prefix = jnp.repeat(
+                self.model.vision_prefix(pixel_values), nway, axis=0
+            )
+        dec_in = jnp.full(
+            (expanded, 1), cfg.blip2.text_config.decoder_start_token_id, jnp.int32
+        )
+        logits, _ = self.model(
+            input_ids, attention_mask, dec_in, vision_prefix=prefix
+        )
+        first = logits[:, 0, :].astype(jnp.float32)
+        logz = jax.nn.logsumexp(first, axis=-1)
+        gold = jnp.take_along_axis(first, target[:, None], axis=-1)[:, 0]
+        loss = jnp.mean(logz - gold)
+        yes = first[:, cfg.yes_token_id]
+        no = first[:, cfg.no_token_id]
+        p_yes = jax.nn.softmax(jnp.stack([yes, no], axis=-1), axis=-1)[:, 0:1]
+        return DecoderRerankOutput(loss=loss, logits=p_yes)
+
+
+@dataclasses.dataclass(frozen=True)
+class Blip2RerankConfig:
+    """Config for :class:`Blip2DecoderRerankModel`. ``yes/no_token_id`` come
+    from the Blip2Processor tokenizer (reference `:99-100`; for the T5
+    tokenizer: yes=4273, no=150)."""
+
+    blip2: "object" = None  # models.blip2.Blip2Config
+    yes_token_id: int = 4273
+    no_token_id: int = 150
+    loss_fn: str = "BCE"
+    pos_weight: Optional[float] = None
+
+    @classmethod
+    def tiny(cls, **kw):
+        from ..blip2 import Blip2Config
+
+        defaults = dict(blip2=Blip2Config.tiny(), yes_token_id=10, no_token_id=11)
+        defaults.update(kw)
+        return cls(**defaults)
+
+
 def prepare_decoder_rerank_inputs(
     query_text_sequences,
     context_text_sequences,

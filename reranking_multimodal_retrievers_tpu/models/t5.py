@@ -1,0 +1,305 @@
+"""T5 / Flan-T5 encoder-decoder LM in Flax, TPU-first.
+
+The language backbone of the reference's best reranker, monoBLIP-2
+(``Blip2ForConditionalGeneration`` with a Flan-T5 LM,
+`src/models/rerank/decoder_rerank_model.py:89-114`; OK-VQA R@5 0.36/0.40 in
+BASELINE.md). Semantics match HuggingFace ``T5ForConditionalGeneration``
+exactly so bridged checkpoints reproduce reference scores:
+
+- RMS LayerNorm (no bias, no mean subtraction), fp32 statistics;
+- pre-LN blocks; NO attention-score scaling (folded into init per the T5
+  paper); relative position bias computed in block 0 of each stack and
+  shared by the following blocks; cross-attention has no bias;
+- gated FFN (``wi_0``/``wi_1``) with ``gelu_new`` for Flan-T5, plain ReLU
+  ``wi`` otherwise;
+- untied ``lm_head`` for Flan-T5/v1.1; when tied, the decoder output is
+  scaled by ``d_model**-0.5`` before the projection (HF behavior).
+
+LoRA: the reference wraps the LM with peft ``LoraConfig(SEQ_2_SEQ_LM)``
+(r=8, α=32, `decoder_rerank_model.py:103-114`), whose default T5 targets are
+the ``q`` and ``v`` projections — mirrored here with first-class
+:class:`~..lora.LoRADense` adapters gated by ``lora_r``.
+
+TPU notes: static shapes; the score matmuls accumulate fp32 on the MXU;
+``inputs_embeds`` entry points let BLIP-2 prepend its vision prefix without
+re-tokenizing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .bert import ATTN_MASK_BIAS
+from .lora import LoRADense
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 32128
+    d_model: int = 768
+    d_kv: int = 64
+    d_ff: int = 2048
+    num_layers: int = 12
+    num_decoder_layers: int = 12
+    num_heads: int = 12
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    layer_norm_epsilon: float = 1e-6
+    is_gated_act: bool = True  # Flan-T5 / v1.1
+    dense_act_fn: str = "gelu_new"
+    tie_word_embeddings: bool = False  # Flan-T5 / v1.1
+    decoder_start_token_id: int = 0
+    lora_r: int = 0
+    lora_alpha: float = 32.0
+
+    @property
+    def inner_dim(self) -> int:
+        return self.num_heads * self.d_kv
+
+    @classmethod
+    def tiny(cls, **kw):
+        defaults = dict(
+            vocab_size=64, d_model=16, d_kv=4, d_ff=32,
+            num_layers=2, num_decoder_layers=2, num_heads=4,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+    @classmethod
+    def flan_t5_xl(cls, **kw):
+        """`google/flan-t5-xl` — the LM inside
+        ``Salesforce/blip2-flan-t5-xl`` used by the reference configs."""
+        defaults = dict(
+            d_model=2048, d_kv=64, d_ff=5120, num_layers=24,
+            num_decoder_layers=24, num_heads=32,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+class T5LayerNorm(nn.Module):
+    """RMS norm — HF ``T5LayerNorm``: fp32 variance, no mean, no bias."""
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        y = x32 * jax.lax.rsqrt(var + self.epsilon)
+        return (w * y.astype(x.dtype)).astype(x.dtype)
+
+
+def relative_position_bucket(
+    relative_position, bidirectional: bool, num_buckets: int, max_distance: int
+):
+    """HF ``T5Attention._relative_position_bucket`` semantics."""
+    ret = jnp.zeros_like(relative_position)
+    n = -relative_position
+    if bidirectional:
+        num_buckets //= 2
+        ret = ret + (n < 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = jnp.maximum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-20)
+        / jnp.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+class T5Attention(nn.Module):
+    config: T5Config
+    has_relative_bias: bool = False
+    bidirectional: bool = True
+    lora: bool = False  # peft SEQ_2_SEQ_LM targets q/v
+
+    @nn.compact
+    def __call__(self, x, kv=None, mask_bias=None, position_bias=None):
+        cfg = self.config
+        kv_in = x if kv is None else kv
+        B, Lq, _ = x.shape
+        Lk = kv_in.shape[1]
+        nh, dk = cfg.num_heads, cfg.d_kv
+
+        def proj(name, inp, use_lora):
+            if use_lora and cfg.lora_r:
+                return LoRADense(cfg.inner_dim, r=cfg.lora_r, alpha=cfg.lora_alpha,
+                                 use_bias=False, name=name)(inp)
+            return nn.Dense(cfg.inner_dim, use_bias=False, name=name)(inp)
+
+        q = proj("q", x, self.lora).reshape(B, Lq, nh, dk)
+        k = proj("k", kv_in, False).reshape(B, Lk, nh, dk)
+        v = proj("v", kv_in, self.lora).reshape(B, Lk, nh, dk)
+
+        # no 1/sqrt(dk) scaling — T5 folds it into initialization
+        scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                            preferred_element_type=jnp.float32)
+        if position_bias is None:
+            if self.has_relative_bias:
+                rel = (
+                    jnp.arange(Lk)[None, :] - jnp.arange(Lq)[:, None]
+                )  # memory_pos - query_pos
+                buckets = relative_position_bucket(
+                    rel, self.bidirectional,
+                    cfg.relative_attention_num_buckets,
+                    cfg.relative_attention_max_distance,
+                )
+                table = nn.Embed(
+                    cfg.relative_attention_num_buckets, nh,
+                    name="relative_attention_bias",
+                )(buckets)  # [Lq, Lk, nh]
+                position_bias = jnp.transpose(table, (2, 0, 1))[None]
+            else:
+                position_bias = jnp.zeros((1, nh, Lq, Lk), jnp.float32)
+            if mask_bias is not None:
+                position_bias = position_bias + mask_bias
+        scores = scores + position_bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = nn.Dense(cfg.d_model, use_bias=False, name="o")(
+            ctx.reshape(B, Lq, cfg.inner_dim)
+        )
+        return out, position_bias
+
+
+class T5FF(nn.Module):
+    config: T5Config
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        if cfg.is_gated_act:
+            gate = nn.Dense(cfg.d_ff, use_bias=False, name="wi_0")(x)
+            if cfg.dense_act_fn in ("gelu_new", "gelu"):
+                gate = nn.gelu(gate, approximate=True)
+            else:
+                gate = nn.relu(gate)
+            lin = nn.Dense(cfg.d_ff, use_bias=False, name="wi_1")(x)
+            h = gate * lin
+        else:
+            h = nn.Dense(cfg.d_ff, use_bias=False, name="wi")(x)
+            h = nn.relu(h)
+        return nn.Dense(cfg.d_model, use_bias=False, name="wo")(h)
+
+
+class T5Block(nn.Module):
+    config: T5Config
+    is_decoder: bool = False
+    has_relative_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask_bias=None, position_bias=None,
+                 enc_states=None, enc_mask_bias=None):
+        cfg = self.config
+        eps = cfg.layer_norm_epsilon
+        h = T5LayerNorm(eps, name="self_attn_norm")(x)
+        attn, position_bias = T5Attention(
+            cfg, has_relative_bias=self.has_relative_bias,
+            bidirectional=not self.is_decoder, lora=True,
+            name="self_attn",
+        )(h, mask_bias=mask_bias, position_bias=position_bias)
+        x = x + attn
+        if self.is_decoder and enc_states is not None:
+            h = T5LayerNorm(eps, name="cross_attn_norm")(x)
+            cross, _ = T5Attention(cfg, lora=True, name="cross_attn")(
+                h, kv=enc_states,
+                position_bias=(
+                    enc_mask_bias
+                    if enc_mask_bias is not None
+                    else jnp.zeros(
+                        (1, cfg.num_heads, x.shape[1], enc_states.shape[1]),
+                        jnp.float32,
+                    )
+                ),
+            )
+            x = x + cross
+        h = T5LayerNorm(eps, name="ff_norm")(x)
+        return x + T5FF(cfg, name="ff")(h), position_bias
+
+
+def _additive(attention_mask):
+    return ((1.0 - attention_mask.astype(jnp.float32)) * ATTN_MASK_BIAS)[:, None, None, :]
+
+
+class T5Stack(nn.Module):
+    config: T5Config
+    is_decoder: bool = False
+    num_layers: int = 12
+
+    @nn.compact
+    def __call__(self, inputs_embeds, attention_mask=None, enc_states=None,
+                 enc_attention_mask=None):
+        cfg = self.config
+        x = inputs_embeds
+        L = x.shape[1]
+        mask_bias = _additive(attention_mask) if attention_mask is not None else None
+        if self.is_decoder:
+            causal = jnp.tril(jnp.ones((L, L), jnp.float32))
+            causal_bias = (1.0 - causal)[None, None] * ATTN_MASK_BIAS
+            mask_bias = causal_bias if mask_bias is None else mask_bias + causal_bias
+        enc_bias = None
+        if enc_states is not None and enc_attention_mask is not None:
+            enc_bias = _additive(enc_attention_mask)
+        position_bias = None
+        for i in range(self.num_layers):
+            x, position_bias = T5Block(
+                cfg, is_decoder=self.is_decoder, has_relative_bias=(i == 0),
+                name=f"block_{i}",
+            )(x, mask_bias=mask_bias, position_bias=position_bias,
+              enc_states=enc_states, enc_mask_bias=enc_bias)
+        return T5LayerNorm(cfg.layer_norm_epsilon, name="final_norm")(x)
+
+
+class T5ForConditionalGeneration(nn.Module):
+    """Encoder-decoder LM head model (HF-compatible forward)."""
+
+    config: T5Config
+
+    def setup(self):
+        cfg = self.config
+        self.shared = nn.Embed(
+            cfg.vocab_size, cfg.d_model,
+            embedding_init=nn.initializers.normal(1.0), name="shared",
+        )
+        self.encoder = T5Stack(cfg, is_decoder=False, num_layers=cfg.num_layers,
+                               name="encoder")
+        self.decoder = T5Stack(cfg, is_decoder=True,
+                               num_layers=cfg.num_decoder_layers, name="decoder")
+        if not cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False, name="lm_head")
+
+    def encode(self, input_ids=None, attention_mask=None, inputs_embeds=None):
+        if inputs_embeds is None:
+            inputs_embeds = self.shared(input_ids)
+        return self.encoder(inputs_embeds, attention_mask=attention_mask)
+
+    def decode(self, decoder_input_ids, enc_states, enc_attention_mask=None):
+        cfg = self.config
+        x = self.shared(decoder_input_ids)
+        hidden = self.decoder(
+            x, enc_states=enc_states, enc_attention_mask=enc_attention_mask
+        )
+        if cfg.tie_word_embeddings:
+            hidden = hidden * (cfg.d_model ** -0.5)
+            logits = hidden @ self.shared.embedding.T
+        else:
+            logits = self.lm_head(hidden)
+        return logits, hidden
+
+    def __call__(self, input_ids=None, attention_mask=None,
+                 decoder_input_ids=None, inputs_embeds=None):
+        enc = self.encode(input_ids, attention_mask, inputs_embeds)
+        return self.decode(decoder_input_ids, enc, attention_mask)

@@ -80,6 +80,102 @@ def test_reranker_train_then_test(tmp_path):
     assert "pos_item_ids_raw_recall_at_5" in dump["metrics"]
 
 
+def test_spliced_fusion_reranker_train_then_test(tmp_path):
+    """Spliced RerankModel + PreFLMR attention fusion e2e: the frozen
+    retriever's token-score matrix biases the cross-encoder attention
+    (reference `Reranker_base_executor.py:590-592`, `rerank_model.py:276-319`)."""
+    rc = main([
+        "--config", "configs/okvqa_rerank_fusion.json", "--mode", "train",
+        "--use_dummy_data",
+        "--opts", *(_opts(tmp_path, "fu")),
+        "train.trainer_paras.max_epochs=1",
+        "train.trainer_paras.limit_train_batches=2",
+    ])
+    assert rc == 0
+    exp_dir = str(tmp_path / "experiments" / "okvqa_rerank_fusion" / "version_0")
+    rc = main([
+        "--config", "configs/okvqa_rerank_fusion.json", "--mode", "test",
+        "--use_dummy_data",
+        "--opts", *(_opts(tmp_path, "fu")),
+        f"meta.experiment_dir='{exp_dir}'",
+        "test.trainer_paras.limit_test_batches=1",
+    ])
+    assert rc == 0
+    with open(os.path.join(exp_dir, "test_predictions_rank_0.json")) as f:
+        dump = json.load(f)
+    assert "recall_at_5" in dump["metrics"]
+    assert dump["predictions"][0]["top_ranking_passages"]
+
+
+def test_blip2_decoder_reranker_train_then_test(tmp_path):
+    """The real-backbone (BLIP-2/Flan-T5 + LoRA) decoder reranker e2e
+    (reference `decoder_rerank_model.py:81-159`)."""
+    rc = main([
+        "--config", "configs/okvqa_rerank_decoder_blip2.json", "--mode", "train",
+        "--use_dummy_data",
+        "--opts", *(_opts(tmp_path, "b2")),
+        "train.trainer_paras.max_epochs=1",
+        "train.trainer_paras.limit_train_batches=2",
+    ])
+    assert rc == 0
+    exp_dir = str(tmp_path / "experiments" / "okvqa_rerank_decoder_blip2" / "version_0")
+    rc = main([
+        "--config", "configs/okvqa_rerank_decoder_blip2.json", "--mode", "test",
+        "--use_dummy_data",
+        "--opts", *(_opts(tmp_path, "b2")),
+        f"meta.experiment_dir='{exp_dir}'",
+        "test.trainer_paras.limit_test_batches=1",
+    ])
+    assert rc == 0
+    with open(os.path.join(exp_dir, "test_predictions_rank_0.json")) as f:
+        dump = json.load(f)
+    assert "recall_at_5" in dump["metrics"]
+
+
+def test_evqa_retrieve_then_rerank(tmp_path):
+    """EVQA end-to-end (BASELINE.json configs[4]): FLMR retrieve → dump
+    predictions → rerank the static retrieval with the cross-encoder →
+    compute_rerank_DPR_scores (reference EVQA configs under
+    `configs/Rerank/EVQA/`, dataset `evqa_datasets.py:44`)."""
+    rc = main([
+        "--config", "configs/evqa_flmr.json", "--mode", "train",
+        "--use_dummy_data",
+        "--opts", *(_opts(tmp_path, "ev")),
+        "train.trainer_paras.max_epochs=1",
+    ])
+    assert rc == 0
+    flmr_dir = str(tmp_path / "experiments" / "evqa_flmr" / "version_0")
+    rc = main([
+        "--config", "configs/evqa_flmr.json", "--mode", "test",
+        "--use_dummy_data",
+        "--opts", *(_opts(tmp_path, "ev")),
+        f"meta.experiment_dir='{flmr_dir}'",
+        "test.trainer_paras.limit_test_batches=2",
+    ])
+    assert rc == 0
+    retrieve_dump = os.path.join(flmr_dir, "test_predictions_rank_0.json")
+    assert os.path.exists(retrieve_dump)
+
+    rr_dir = str(tmp_path / "experiments" / "evqa_rerank_full_context" / "version_0")
+    rc = main([
+        "--config", "configs/evqa_rerank_full_context.json", "--mode", "test",
+        "--use_dummy_data",
+        "--opts", *(_opts(tmp_path, "ev")),
+        f"meta.experiment_dir='{rr_dir}'",
+        f"model_config.retrieve_result_path='{retrieve_dump}'",
+        "test.trainer_paras.limit_test_batches=2",
+    ])
+    assert rc == 0
+    with open(os.path.join(rr_dir, "test_predictions_rank_0.json")) as f:
+        dump = json.load(f)
+    # rerank-vs-raw side-by-side present, over the real retrieved lists
+    assert "recall_at_5" in dump["metrics"]
+    assert "raw_recall_at_5" in dump["metrics"]
+    assert not any(
+        p.get("static_retrieval_missing") for p in dump["predictions"]
+    )
+
+
 def test_prepare_data_mode(tmp_path):
     rc = main([
         "--config", "configs/okvqa_flmr.json", "--mode", "prepare_data",

@@ -204,3 +204,42 @@ def test_eval_recorder_roundtrip(tmp_path):
     rec.merge(other)
     assert rec.num_samples == 3
     assert rec.rename("renamed").name == "renamed"
+
+
+def test_eval_recorder_multipass_and_column_merge(tmp_path):
+    """Reference semantics (`runway_for_ml/utils/eval_recorder.py:52-55,
+    158-199,253-271`): a second pass annotates the same rows in place;
+    same-length recorders merge column-wise."""
+    rec = EvalRecorder("mp", str(tmp_path))
+    rec.log_sample_dict({"question_id": "q1", "pred": "a"})
+    rec.log_sample_dict({"question_id": "q2", "pred": "b"})
+    # second pass adds a column and overwrites a value, without growing rows
+    rec.reset_for_new_pass()
+    rec.log_sample_dict({"question_id": "q1", "acc": 1.0})
+    rec.log_sample_dict({"question_id": "q2", "acc": 0.0, "pred": "b2"})
+    assert rec.num_samples == 2
+    assert rec.get_sample_logs_column("acc") == [1.0, 0.0]
+    assert rec.get_sample_logs_column("pred") == ["a", "b2"]
+    assert rec[1]["question_id"] == "q2"
+    assert len(rec) == 2
+
+    # column merge (the reference's `merge`): same length required
+    other = EvalRecorder("cols", str(tmp_path))
+    other.log_sample_dict({"rank": 3})
+    other.log_sample_dict({"rank": 1})
+    other.log_stats_dict({"recall": 0.5})
+    rec.merge_columns([other])
+    assert rec.get_sample_logs_column("rank") == [3, 1]
+    assert rec.stats_logs["recall"] == [0.5]
+
+    short = EvalRecorder("short", str(tmp_path))
+    short.log_sample_dict({"x": 1})
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        rec.merge_columns([short])
+
+    # set/replace columns and bulk data
+    rec.set_sample_logs_column("pred", ["z1", "z2"])
+    assert rec.get_sample_logs_column("pred") == ["z1", "z2"]
+    rec.set_sample_logs_data({"a": [1, 2, 3], "b": [4, 5, 6]})
+    assert len(rec) == 3 and rec[2] == {"a": 3, "b": 6}
