@@ -56,25 +56,98 @@ class PrepareWikipediaPassageAnnotationsForInfoSeek(HFDatasetTransform):
         return data
 
 
+def blip2_greedy_captions(
+    model,
+    params,
+    tokenizer,
+    images,
+    prompt: str = "",
+    max_new_tokens: int = 20,
+    image_size: int = 224,
+):
+    """Greedy BLIP-2 captioning (the role of HF ``model.generate`` in the
+    reference captioner, `infoseek_data_ops.py:730-748`), host-driven over a
+    fixed-length token buffer so only two programs compile: the encode and
+    the per-step decode (static shapes)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ...models.blip2 import Blip2ForConditionalGeneration
+    from ..loaders import CLIPImageProcessorNP
+
+    proc = CLIPImageProcessorNP(image_size)
+    pix = jnp.asarray(proc(images))
+    B = pix.shape[0]
+    if prompt:
+        enc_in = tokenizer([prompt] * B, padding="max_length", truncation=True,
+                           max_length=16, return_tensors="np")
+        ids = jnp.asarray(enc_in["input_ids"], jnp.int32)
+        am = jnp.asarray(enc_in["attention_mask"], jnp.int32)
+    else:
+        # T5 empty input: a single EOS token
+        eos = tokenizer.eos_token_id or 1
+        ids = jnp.full((B, 1), eos, jnp.int32)
+        am = jnp.ones((B, 1), jnp.int32)
+
+    encode = jax.jit(
+        lambda p, i, a, px: model.apply(
+            {"params": p}, i, a, px,
+            method=Blip2ForConditionalGeneration.encode_for_generation,
+        )
+    )
+    decode = jax.jit(
+        lambda p, toks, es, em: model.apply(
+            {"params": p}, toks, es, em,
+            method=Blip2ForConditionalGeneration.decode_logits,
+        )
+    )
+    enc_states, enc_mask = encode(params, ids, am, pix)
+    start = model.config.text_config.decoder_start_token_id
+    eos_id = tokenizer.eos_token_id if tokenizer.eos_token_id is not None else 1
+    tokens = np.full((B, max_new_tokens + 1), start, np.int32)
+    done = np.zeros((B,), bool)
+    for t in range(max_new_tokens):
+        logits = np.asarray(decode(params, jnp.asarray(tokens), enc_states, enc_mask))
+        nxt = logits[:, t].argmax(axis=-1).astype(np.int32)
+        nxt = np.where(done, eos_id, nxt)
+        done |= nxt == eos_id
+        tokens[:, t + 1] = nxt
+        if done.all():
+            break
+    return [
+        tokenizer.decode([t for t in row[1:] if t != eos_id],
+                         skip_special_tokens=True)
+        for row in tokens
+    ]
+
+
 @register_transform_functor
 class CaptionImageWithBLIP2(HFDatasetTransform):
-    """Caption images with a vision-LM (reference `:673-1133`, three
-    versions). TPU-native path: runs the framework's ``VisionSeq2SeqLM``
-    greedy decode when a captioner checkpoint is configured; in dummy mode
-    attaches deterministic placeholder captions so downstream text-based
-    vision nodes are exercisable."""
+    """Caption images with BLIP-2 (reference `:673-1133`, three versions —
+    per-image caption files are reused as a cache exactly like the
+    reference's ``_caption_with_blip``). With a bridged checkpoint the real
+    Flax BLIP-2 greedy-decodes captions on the accelerator; in dummy mode it
+    attaches deterministic placeholders so downstream text-based vision nodes
+    are exercisable offline."""
 
-    def setup(self, captioner_checkpoint=None, max_caption_length: int = 20, **kwargs):
+    def setup(self, captioner_checkpoint=None, tokenizer_name=None,
+              blip2_config=None, prompt: str = "", max_caption_length: int = 20,
+              caption_cache_dir=None, batch_size: int = 8, **kwargs):
         self.captioner_checkpoint = captioner_checkpoint
+        self.tokenizer_name = tokenizer_name
+        self.blip2_config = blip2_config or {}
+        self.prompt = prompt
         self.max_caption_length = max_caption_length
+        self.caption_cache_dir = caption_cache_dir
+        self.batch_size = batch_size
         return self
 
     def _call(self, data):
+        import os
+
         if self.captioner_checkpoint and not self.use_dummy_data:
-            raise NotImplementedError(
-                "captioner checkpoint loading lands with the BLIP-2 bridge; "
-                "use dummy mode or precomputed captions"
-            )
+            return self._caption_real(data)
 
         def caption(example, idx):
             example["caption"] = f"an image related to question {idx}"
@@ -84,4 +157,68 @@ class CaptionImageWithBLIP2(HFDatasetTransform):
             data[split] = data[split].map(
                 caption, with_indices=True, load_from_cache_file=False
             )
+        return data
+
+    def _caption_real(self, data):
+        import os
+
+        from PIL import Image
+        from transformers import AutoTokenizer
+
+        from ...models.blip2 import (
+            Blip2Config, Blip2ForConditionalGeneration, Blip2QFormerConfig,
+            Blip2VisionConfig,
+        )
+        from ...models.t5 import T5Config
+        from ...models.hf_bridge import blip2_params, load_torch_checkpoint_dir
+
+        bc = dict(self.blip2_config)
+        cfg = Blip2Config(
+            vision_config=Blip2VisionConfig(**bc.get("vision_config", {})),
+            qformer_config=Blip2QFormerConfig(**bc.get("qformer_config", {})),
+            text_config=T5Config(**bc.get("text_config", {})),
+            num_query_tokens=bc.get("num_query_tokens", 32),
+        )
+        model = Blip2ForConditionalGeneration(cfg)
+        params = blip2_params(
+            load_torch_checkpoint_dir(self.captioner_checkpoint), cfg
+        )
+        tokenizer = AutoTokenizer.from_pretrained(self.tokenizer_name)
+        cache = self.caption_cache_dir
+        if cache:
+            os.makedirs(cache, exist_ok=True)
+
+        def caption_batch(batch):
+            paths = batch["img_path"]
+            cache_files = [
+                os.path.join(cache, os.path.basename(p) + ".caption") if cache else None
+                for p in paths
+            ]
+            if cache and all(cf and os.path.exists(cf) for cf in cache_files):
+                batch["caption"] = [open(cf).read() for cf in cache_files]
+                return batch
+            images = [
+                Image.open(p).convert("RGB") if p and os.path.exists(p)
+                else Image.new("RGB", (cfg.vision_config.image_size,) * 2)
+                for p in paths
+            ]
+            caps = blip2_greedy_captions(
+                model, params, tokenizer, images, prompt=self.prompt,
+                max_new_tokens=self.max_caption_length,
+                image_size=cfg.vision_config.image_size,
+            )
+            if cache:
+                for cf, c in zip(cache_files, caps):
+                    if cf:
+                        with open(cf, "w") as f:
+                            f.write(c)
+            batch["caption"] = caps
+            return batch
+
+        for split in [s for s in data.keys() if not s.endswith("_passages")]:
+            if "img_path" in data[split].column_names:
+                data[split] = data[split].map(
+                    caption_batch, batched=True, batch_size=self.batch_size,
+                    load_from_cache_file=False,
+                )
         return data

@@ -31,35 +31,56 @@ def _tokenize(text: str) -> List[str]:
 
 
 class BM25Index:
-    """Small in-memory BM25 (k1=1.5, b=0.75)."""
+    """In-memory BM25 (k1=1.5, b=0.75) over a CSC term→doc matrix.
+
+    The ES-server replacement for pseudo-label mining at corpus scale
+    (`wikipedia_data_ops.py:228-310`): BM25 term weights are precomputed into
+    one sparse matrix so a query scores as a sum of term columns — no Python
+    loop over documents."""
 
     def __init__(self, docs: List[str], k1=1.5, b=0.75):
+        from scipy import sparse
+
         self.k1, self.b = k1, b
         self.doc_tokens = [_tokenize(d) for d in docs]
         self.doc_lens = np.array([len(t) for t in self.doc_tokens], np.float32)
         self.avgdl = float(self.doc_lens.mean()) if len(docs) else 0.0
-        self.df: Counter = Counter()
-        self.tfs = []
+        self.n = len(docs)
+        self.vocab: Dict[str, int] = {}
+        rows, cols, vals = [], [], []
+        df = Counter()
+        tfs = []
         for toks in self.doc_tokens:
             tf = Counter(toks)
-            self.tfs.append(tf)
-            self.df.update(tf.keys())
-        self.n = len(docs)
+            tfs.append(tf)
+            df.update(tf.keys())
+        for i, tf in enumerate(tfs):
+            denom_base = self.k1 * (1 - self.b + self.b * self.doc_lens[i] / max(self.avgdl, 1e-9))
+            for tok, f in tf.items():
+                t = self.vocab.setdefault(tok, len(self.vocab))
+                idf = math.log(1 + (self.n - df[tok] + 0.5) / (df[tok] + 0.5))
+                rows.append(i)
+                cols.append(t)
+                vals.append(idf * f * (self.k1 + 1) / (f + denom_base))
+        self._matrix = sparse.csc_matrix(
+            (vals, (rows, cols)), shape=(self.n, max(len(self.vocab), 1)),
+            dtype=np.float32,
+        )
+
+    def scores(self, query: str) -> np.ndarray:
+        q = Counter(_tokenize(query))
+        cols = [(self.vocab[t], c) for t, c in q.items() if t in self.vocab]
+        if not cols:
+            return np.zeros(self.n, np.float32)
+        idx = [i for i, _ in cols]
+        w = np.asarray([c for _, c in cols], np.float32)
+        return np.asarray(self._matrix[:, idx] @ w).ravel()
 
     def search(self, query: str, k: int = 10) -> List[int]:
-        q_toks = _tokenize(query)
-        scores = np.zeros(self.n, np.float32)
-        for tok in q_toks:
-            df = self.df.get(tok)
-            if not df:
-                continue
-            idf = math.log(1 + (self.n - df + 0.5) / (df + 0.5))
-            for i, tf in enumerate(self.tfs):
-                f = tf.get(tok, 0)
-                if f:
-                    denom = f + self.k1 * (1 - self.b + self.b * self.doc_lens[i] / self.avgdl)
-                    scores[i] += idf * f * (self.k1 + 1) / denom
-        return list(np.argsort(-scores)[:k])
+        s = self.scores(query)
+        k = min(k, self.n)
+        part = np.argpartition(-s, k - 1)[:k] if k < self.n else np.arange(self.n)
+        return list(part[np.argsort(-s[part])])
 
 
 @register_transform_functor

@@ -154,6 +154,10 @@ class BaseExecutor(MetricsProcessor):
                 "epoch %d done in %.1fs (step=%d)", epoch, time.time() - t0,
                 self.global_step,
             )
+            limit_val = self.config.get_path("valid.trainer_paras.limit_val_batches")
+            if limit_val == 0:  # validation disabled (Lightning semantics)
+                self.save_checkpoint()
+                continue
             if (epoch + 1) % val_interval_epochs == 0 and self.data_loaders.get("valid"):
                 val_metrics = self.evaluate("valid")
                 self.log_metrics({f"valid/{k}": v for k, v in val_metrics.metrics.items()})
@@ -207,6 +211,17 @@ class BaseExecutor(MetricsProcessor):
             json.dump(out, f, default=_to_float)
         logger.info("wrote %s", path)
         self.log_metrics({f"{prefix}/{k}": v for k, v in results.metrics.items()})
+        # rich wandb prediction table (reference `FLMR_base_executor.py:1043-1083`)
+        from ..utils.observability import maybe_wandb, log_prediction_table
+
+        if not hasattr(self, "_wandb_run"):
+            self._wandb_run = maybe_wandb(self.config)
+        run = self._wandb_run
+        log_prediction_table(
+            run, out["predictions"],
+            self.config.get_path("model_config.Ks", [5]), prefix=prefix,
+        )
+        run.log({f"{prefix}/{k}": _to_float(v) for k, v in results.metrics.items()})
         return path
 
 

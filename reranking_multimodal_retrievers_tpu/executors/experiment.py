@@ -51,6 +51,12 @@ class Experiment:
 
         self._setup_logging()
         self._save_config_snapshot()
+        # wandb run lifecycle: delete prior runs on train+reset, else resume
+        # (reference `experiment.py:100-129,368-377`); offline-safe no-op
+        from ..utils.observability import manage_wandb_runs
+
+        manage_wandb_runs(config, mode=config.get_path("mode", "train"),
+                          reset=reset)
         self.executor = self._init_executor()
 
     def _setup_logging(self):

@@ -199,6 +199,8 @@ class FLMRExecutor(BaseExecutor):
         # `FLMR_base_executor.py:354-359`)
         self._restored_opt_state = restored.get("opt_state") if isinstance(restored, dict) else None
         self._restored_step = restored.get("step") if isinstance(restored, dict) else None
+        if self._restored_step is not None:
+            self.global_step = int(np.asarray(self._restored_step))
 
     # ------------------------------------------------------------- eval
     def _ensure_eval_fns(self):

@@ -522,7 +522,7 @@ class RerankerExecutor(BaseExecutor):
     def state_to_save(self):
         from ..training.checkpointing import pack_opt_state
 
-        state = {"params": self.params}
+        state = {"params": self.params, "step": np.asarray(self.global_step)}
         if getattr(self, "_opt_state", None) is not None:
             state["opt_state"] = pack_opt_state(self._opt_state)
         return state
@@ -534,7 +534,10 @@ class RerankerExecutor(BaseExecutor):
         self.params = restored.get("params", restored)
         # optimizer state is rebuilt against tx.init in prepare_training —
         # stash the packed leaves until then
-        self._restored_opt_state = restored.get("opt_state")
+        self._restored_opt_state = restored.get("opt_state") if isinstance(restored, dict) else None
+        step = restored.get("step") if isinstance(restored, dict) else None
+        if step is not None:
+            self.global_step = int(np.asarray(step))
 
     # ------------------------------------------------------------- eval
     def evaluate(self, mode: str = "test") -> ConfigDict:

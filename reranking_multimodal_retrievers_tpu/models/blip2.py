@@ -244,6 +244,33 @@ class Blip2ForConditionalGeneration(nn.Module):
         query_out = self.qformer(image_embeds)
         return self.language_projection(query_out)
 
+    def encode_for_generation(self, input_ids, attention_mask, pixel_values=None):
+        """Encoder states + mask with the vision prefix prepended — the
+        encode half of HF ``generate`` (caption mining,
+        `infoseek_data_ops.py:673-770`)."""
+        lm = self.language_model
+        text_embeds = lm.shared(input_ids)
+        if pixel_values is not None:
+            prefix = self.vision_prefix(pixel_values)
+            inputs_embeds = jnp.concatenate(
+                [prefix.astype(text_embeds.dtype), text_embeds], axis=1
+            )
+            prefix_mask = jnp.ones(prefix.shape[:2], attention_mask.dtype)
+            attention_mask = jnp.concatenate([prefix_mask, attention_mask], axis=1)
+        else:
+            inputs_embeds = text_embeds
+        enc = lm.encode(inputs_embeds=inputs_embeds, attention_mask=attention_mask)
+        return enc, attention_mask
+
+    def decode_logits(self, decoder_input_ids, enc_states, enc_attention_mask):
+        """Per-position decoder logits over a fixed-length token buffer — the
+        step function of a host-driven greedy decode (static shapes: the
+        buffer is [B, max_len]; the caller reads position t)."""
+        logits, _ = self.language_model.decode(
+            decoder_input_ids, enc_states, enc_attention_mask
+        )
+        return logits
+
     def __call__(self, input_ids, attention_mask, decoder_input_ids,
                  pixel_values=None, vision_prefix=None):
         """``vision_prefix`` short-circuits the vision+Q-Former path with

@@ -292,6 +292,12 @@ class FLMRModelForRetrieval(nn.Module):
                     [vision_embeddings, mapped], axis=1
                 )
 
+        # no vision inputs → text-only, regardless of the config default
+        # (the reference resolves these flags from the inputs, `:788-830`)
+        if vision_embeddings is None:
+            concat_output_from_vision_encoder = False
+        if text_embeddings is None:
+            concat_output_from_text_encoder = False
         if concat_output_from_vision_encoder and concat_output_from_text_encoder:
             Q = jnp.concatenate([text_embeddings, vision_embeddings], axis=1)
         elif concat_output_from_vision_encoder:

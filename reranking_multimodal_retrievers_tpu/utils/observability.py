@@ -81,6 +81,71 @@ def maybe_wandb(config) -> object:
         return _NoOpRun()
 
 
+def manage_wandb_runs(config, mode: str = "train", reset: bool = False):
+    """Run lifecycle via the wandb API (reference
+    `runway_for_ml/experiment.py:100-129,368-377`): find prior runs for this
+    experiment name; on train+reset delete them, otherwise resume the latest
+    (id + resume='must'). Mutates ``meta.WANDB`` in place like the reference.
+    No-ops quietly when wandb or the network is unavailable."""
+    if "wandb" not in (config.get_path("meta.logger_enable", []) or []):
+        return None
+    try:
+        import wandb
+
+        wconf = config.get_path("meta.WANDB", None)
+        if wconf is None:
+            return None
+        entity = wconf.get("entity", "")
+        project = wconf.get("project", "rmr-tpu")
+        runs = wandb.Api(timeout=19).runs(
+            path=f"{entity}/{project}",
+            filters={"config.experiment_name": config.get_path("meta.experiment_name")},
+        )
+        if len(runs) > 0 and mode == "train" and reset:
+            for run in runs:
+                run.delete()
+            logger.info("deleted %d prior wandb runs", len(runs))
+        elif len(runs) > 0:
+            wconf["id"] = runs[0].id
+            wconf["resume"] = "must"
+            logger.info("resuming wandb run %s", runs[0].id)
+        return wconf
+    except Exception as e:
+        logger.warning("wandb run management unavailable (%s)", e)
+        return None
+
+
+def log_prediction_table(run, batch_results, Ks, prefix: str = "test",
+                         max_rows: int = 200):
+    """Rich prediction table (reference `FLMR_base_executor.py:1043-1083`):
+    one row per question with image path, positive ids, and the top-K passage
+    contents. No-op on the offline recorder."""
+    if isinstance(run, _NoOpRun) or run is None:
+        return
+    try:
+        import wandb
+
+        k = max(Ks) if Ks else 5
+        columns = ["question_id", "input_image", "pos_item_ids"] + [
+            f"p_{i}" for i in range(k)
+        ]
+        table = wandb.Table(columns=columns)
+        for re_ in batch_results[:max_rows]:
+            row = [
+                str(re_.get("question_id")),
+                str(re_.get("img_path", "")),
+                str(re_.get("pos_item_ids", [])),
+            ]
+            tops = re_.get("top_ranking_passages", [])
+            row += [
+                (tops[i]["content"] if i < len(tops) else "") for i in range(k)
+            ]
+            table.add_data(*row)
+        run.log({f"{prefix}/prediction_table": table})
+    except Exception as e:
+        logger.warning("prediction table not logged (%s)", e)
+
+
 def device_memory_stats() -> Dict[str, float]:
     """Per-device HBM usage in GB (the `cuda_stats.py` role)."""
     import jax

@@ -123,3 +123,21 @@ def test_top_k(rng):
     order = np.argsort(-scores)[:7]
     np.testing.assert_allclose(np.asarray(vals), scores[order], rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(idx), order)
+
+
+def test_tiled_top_k_exact():
+    import numpy as np
+    import jax.numpy as jnp
+    from reranking_multimodal_retrievers_tpu.ops.topk import tiled_top_k, top_k_scores
+
+    rng = np.random.default_rng(0)
+    scores = rng.normal(size=(3, 10_000)).astype(np.float32)
+    want_v, want_i = top_k_scores(jnp.asarray(scores), 17)
+    got_v, got_i = tiled_top_k(jnp.asarray(scores), 17, tile=1024)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    # non-divisible tail
+    got_v2, got_i2 = tiled_top_k(jnp.asarray(scores[:, :9_999]), 17, tile=1000)
+    want_v2, want_i2 = top_k_scores(jnp.asarray(scores[:, :9_999]), 17)
+    np.testing.assert_allclose(np.asarray(got_v2), np.asarray(want_v2))
+    np.testing.assert_array_equal(np.asarray(got_i2), np.asarray(want_i2))

@@ -44,5 +44,17 @@ def test_pallas_all_masked_doc():
             B_blk=2, C_blk=4, interpret=True,
         )
     )
-    # additive masking: all-masked docs land at ≈ −9999·L_q (± raw scores)
-    np.testing.assert_allclose(got[:, 2], -9999.0 * 4, atol=50.0)
+    # the kernel masks with an ADDITIVE −9999 bias (not a where-replace), so
+    # for an all-masked doc the exact value is sum_q max_t (raw - 9999) —
+    # assert it exactly rather than with a loose band
+    raw = np.einsum("qld,td->qtl", Q, D[2])  # [B, L_d, L_q]
+    expected = (raw - 9999.0).max(axis=1).sum(axis=1)
+    np.testing.assert_allclose(got[:, 2], expected, rtol=1e-5)
+    # and valid docs are exact vs the XLA reference
+    want = np.asarray(
+        in_batch_maxsim_scores(jnp.asarray(Q), jnp.asarray(D), jnp.asarray(mask))
+    )
+    valid = [0, 1, 3]
+    np.testing.assert_allclose(got[:, valid], want[:, valid], rtol=1e-4, atol=1e-4)
+    # masked docs can never win
+    assert (got[:, 2:3] < got[:, valid] - 1000).all()

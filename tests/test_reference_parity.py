@@ -249,3 +249,138 @@ def test_forward_loss_and_scores_parity(models):
         float(got.in_batch_negative_loss),
         float(want.in_batch_negative_loss), rtol=1e-3,
     )
+
+
+@pytest.fixture(scope="module")
+def fullwidth_models(ref, tmp_path_factory):
+    """Full-width parity fixture: BERT-base hidden sizes (768, 12 heads) and
+    ViT-B/32 vision dims at a 2-layer depth, so head-count-sensitive paths and
+    the ``hidden_states[-2]`` indexing are exercised at real shapes (random
+    weights; no network)."""
+    import transformers
+    from reranking_multimodal_retrievers_tpu.models import (
+        FLMRConfig, FLMRModelForRetrieval,
+    )
+    from reranking_multimodal_retrievers_tpu.models.bert import BertConfig
+    from reranking_multimodal_retrievers_tpu.models.vit import CLIPVisionConfig
+    from reranking_multimodal_retrievers_tpu.models.hf_bridge import (
+        flmr_params, state_dict_from_torch,
+    )
+    from reranking_multimodal_retrievers_tpu.models.tokenization import (
+        write_test_vocab, punctuation_skiplist_ids,
+    )
+    from transformers.models.bert import modeling_bert as _mb
+
+    _mb.BERT_SELF_ATTENTION_CLASSES.setdefault(
+        None, _mb.BERT_SELF_ATTENTION_CLASSES["eager"]
+    )
+
+    tmp = tmp_path_factory.mktemp("ref_parity_full")
+    H, layers, heads, inter, vocab = 768, 2, 12, 3072, 512
+    dim, prefix = 128, 32
+
+    map_cfg = transformers.BertConfig(
+        vocab_size=vocab, hidden_size=H, num_hidden_layers=layers,
+        num_attention_heads=heads, intermediate_size=inter,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    map_cfg.save_pretrained(str(tmp / "map_base"))
+
+    text_cfg = ref.FLMRTextConfig(
+        vocab_size=vocab, hidden_size=H, num_hidden_layers=layers,
+        num_attention_heads=heads, intermediate_size=inter,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    vision_cfg = ref.FLMRVisionConfig(
+        hidden_size=H, intermediate_size=inter, num_hidden_layers=layers,
+        num_attention_heads=heads, image_size=224, patch_size=32,
+        attention_dropout=0.0,
+    )
+    cfg = ref.FLMRConfig(
+        vision_config=vision_cfg, text_config=text_cfg, dim=dim,
+        mapping_network_prefix_length=prefix, use_vision_encoder=True,
+        use_transformer_mapping_network=True,
+        transformer_mapping_config_base=str(tmp / "map_base"),
+        transformer_mapping_num_hidden_layers=1,
+        transformer_mapping_cross_attention_length=32,
+        mask_punctuation=True, load_cpu_extension=False,
+    )
+    vocab_file = write_test_vocab(str(tmp / "vocab.txt"),
+                                  ["what", "is", "the", "capital", "paris"])
+    qt = ref.FLMRQueryEncoderTokenizer(vocab_file=vocab_file, query_maxlen=32)
+    ct = ref.FLMRContextEncoderTokenizer(vocab_file=vocab_file, doc_maxlen=64)
+    torch.manual_seed(7)
+    ref_model = ref.FLMRModelForRetrieval(
+        cfg, query_tokenizer=qt, context_tokenizer=ct
+    ).eval()
+
+    my_cfg = FLMRConfig(
+        text_config=BertConfig(vocab_size=vocab, hidden_size=H,
+                               num_hidden_layers=layers,
+                               num_attention_heads=heads,
+                               intermediate_size=inter),
+        vision_config=CLIPVisionConfig(hidden_size=H, intermediate_size=inter,
+                                       num_hidden_layers=layers,
+                                       num_attention_heads=heads,
+                                       image_size=224, patch_size=32),
+        dim=dim, mapping_network_prefix_length=prefix,
+        use_transformer_mapping_network=True,
+        transformer_mapping_num_hidden_layers=1,
+        transformer_mapping_cross_attention_length=32,
+        mask_punctuation=True,
+        punctuation_token_ids=punctuation_skiplist_ids(ct),
+    )
+    my_model = FLMRModelForRetrieval(my_cfg)
+    params = {"params": flmr_params(state_dict_from_torch(ref_model), my_cfg)}
+    return ref_model, my_model, params, qt, ct
+
+
+def test_fullwidth_query_and_doc_parity(fullwidth_models):
+    """One full-width forward each side: BERT-base/ViT-B shape bugs (head
+    splits, second-to-last hidden indexing, 49-patch mapping) can't hide."""
+    import jax.numpy as jnp
+    from reranking_multimodal_retrievers_tpu.models import FLMRModelForRetrieval
+
+    ref_model, my_model, params, qt, ct = fullwidth_models
+    enc = qt(["what is the capital", "paris is the capital of what"])
+    rng = np.random.default_rng(2)
+    pix = rng.normal(size=(2, 3, 224, 224)).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref_model.query(
+            input_ids=torch.tensor(np.asarray(enc["input_ids"])),
+            attention_mask=torch.tensor(np.asarray(enc["attention_mask"])),
+            pixel_values=torch.tensor(pix),
+        )
+    got = my_model.apply(
+        params,
+        jnp.asarray(np.asarray(enc["input_ids"])),
+        jnp.asarray(np.asarray(enc["attention_mask"])),
+        pixel_values=jnp.asarray(pix),
+        method=FLMRModelForRetrieval.query,
+    )
+    # 32 text + 32 prefix + 49 mapped vision rows
+    assert got.late_interaction_output.shape == (2, 32 + 32 + 49, 128)
+    np.testing.assert_allclose(
+        np.asarray(got.late_interaction_output),
+        want.late_interaction_output.numpy(),
+        rtol=2e-3, atol=2e-3,
+    )
+
+    d_enc = ct(["paris is the capital", "the wrong passage"])
+    with torch.no_grad():
+        want_d = ref_model.doc(
+            input_ids=torch.tensor(np.asarray(d_enc["input_ids"])),
+            attention_mask=torch.tensor(np.asarray(d_enc["attention_mask"])),
+        )
+    got_d = my_model.apply(
+        params,
+        jnp.asarray(np.asarray(d_enc["input_ids"])),
+        jnp.asarray(np.asarray(d_enc["attention_mask"])),
+        method=FLMRModelForRetrieval.doc,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_d.late_interaction_output),
+        want_d.late_interaction_output.numpy(),
+        rtol=2e-3, atol=2e-3,
+    )

@@ -133,3 +133,48 @@ def test_nan_guard_skips_bad_step():
     state, m = step(state, {"x": jnp.asarray([jnp.nan, 1.0])})
     assert m["grads_finite"] == 0.0
     np.testing.assert_array_equal(np.asarray(state.params["w"]), w_after)
+
+
+def test_evqa_em_and_bem_interface(tmp_path):
+    """EVQA evaluation parity surface (reference `evaluation_utils.py:178-399`):
+    preprocessing, single/multi-answer EM, and the BEM scorer interface."""
+    from reranking_multimodal_retrievers_tpu.tools.eval_evqa import (
+        BEMScorer,
+        encyclopedic_vqa_evaluation_function,
+        exact_match_scoring_function,
+        multianswer_exact_match,
+        preprocess_answer,
+        singleanswer_exact_match,
+    )
+    from reranking_multimodal_retrievers_tpu.models.bert import BertConfig
+    from reranking_multimodal_retrievers_tpu.models.tokenization import (
+        tiny_bert_tokenizer,
+    )
+
+    # preprocessing quirks: answer prefix, llm span prefix, digit map
+    assert preprocess_answer("The answer is Paris!") == "paris"
+    assert preprocess_answer("<extra_id_0> two cats") == "2 cats"
+    assert preprocess_answer("entailment") == "yes"
+
+    assert singleanswer_exact_match("the dog", "dog")
+    assert not singleanswer_exact_match("dog", "cat")
+    # multi-answer: IoU >= 0.5 over && refs vs , / and / & candidates
+    assert multianswer_exact_match("cat && dog", "dog and cat")
+    assert multianswer_exact_match("cat && dog", "cat")  # IoU 0.5
+    assert not multianswer_exact_match("cat && dog && bird", "cat")
+
+    ex = {"question_type": "multi_answer", "reference": "cat && dog",
+          "candidate": "cat, dog"}
+    assert exact_match_scoring_function(ex)
+
+    # BEM scorer interface (random weights — exercises encode + head)
+    tok = tiny_bert_tokenizer(str(tmp_path), ["cat", "dog", "what", "animal"])
+    bem = BEMScorer(tok, bert_config=BertConfig.tiny(type_vocab_size=4))
+    ex2 = {"question": "what animal", "reference": "cat", "candidate": "dog",
+           "question_type": "automatic"}
+    score = bem(ex2, threshold_score=False)
+    assert 0.0 <= score <= 1.0
+    # EM short-circuit: exact matches never reach BEM
+    ex3 = {"question": "what animal", "reference": "cat", "candidate": "the cat",
+           "question_type": "automatic"}
+    assert encyclopedic_vqa_evaluation_function(ex3, bem) == 1.0

@@ -1,0 +1,160 @@
+"""Real-data-path depth: WIT join/group/split semantics and the BLIP-2
+greedy captioner (reference `wit_data_ops.py:62-1408`,
+`infoseek_data_ops.py:673-1133`)."""
+
+import datasets
+import numpy as np
+import pytest
+
+from reranking_multimodal_retrievers_tpu.utils import ConfigDict
+from reranking_multimodal_retrievers_tpu.data.ops.wit_ops import (
+    PrepareWITDataForRetrieval,
+    SplitWITPassagesForLargeScaleTraining,
+    TruncateWITPassages,
+    RemoveWITPassagesWithoutImages,
+)
+
+
+def _functor(cls, **kwargs):
+    f = cls(use_dummy_data=False, global_config=ConfigDict({}))
+    f.setup(**kwargs)
+    return f
+
+
+def _wit_fixture():
+    rows = {
+        "original_data_id": ["train_0", "train_1", "train_2"],
+        "image_id": ["imgA", "imgA", "imgB"],  # imgA has two passages
+        "img_id": ["imgA", "imgA", "imgB"],
+        "img_path": ["/a.jpg", "/a.jpg", "/b.jpg"],
+    }
+    passages = {
+        "original_data_id": ["train_0", "train_1", "train_2"],
+        "passage_id": ["WIT_0", "WIT_1", "WIT_2"],
+        "passage_content": ["first passage", "second passage", "third passage"],
+    }
+    return datasets.DatasetDict({
+        "train": datasets.Dataset.from_dict(rows),
+        "valid": datasets.Dataset.from_dict(
+            {k: v[2:] for k, v in rows.items()}
+        ),
+        "test": datasets.Dataset.from_dict(
+            {k: v[2:] for k, v in rows.items()}
+        ),
+        "passages": datasets.Dataset.from_dict(passages),
+    })
+
+
+def test_prepare_wit_groups_passages_per_image():
+    out = _functor(PrepareWITDataForRetrieval)(_wit_fixture())
+    train = {r["img_id"]: r for r in out["train"]}
+    # imgA aggregated both of its passages into pos_item_ids
+    assert sorted(train["imgA"]["pos_item_ids"]) == ["WIT_0", "WIT_1"]
+    assert train["imgA"]["question_id"] == "imgA"
+    assert train["imgB"]["pos_item_ids"] == ["WIT_2"]
+    assert "pos_item_contents" in out["train"].column_names
+
+
+def test_split_wit_passages_reduces_eval_corpus():
+    prepared = _functor(PrepareWITDataForRetrieval)(_wit_fixture())
+    out = _functor(SplitWITPassagesForLargeScaleTraining)(prepared)
+    # train keeps the FULL corpus; valid/test reduce to referenced passages
+    assert len(out["train_passages"]) == 3
+    assert set(out["valid_passages"]["passage_id"]) == {"WIT_2"}
+    assert set(out["test_passages"]["passage_id"]) == {"WIT_2"}
+
+
+def test_truncate_wit_passages_chunks_and_reids():
+    data = datasets.DatasetDict({
+        "passages": datasets.Dataset.from_dict({
+            "passage_id": ["orig_a", "orig_b"],
+            "passage_content": ["w " * 25, "short text"],
+        })
+    })
+    out = _functor(TruncateWITPassages, truncation_length=10)(data)
+    ds = out["passages"]
+    assert len(ds) == 4  # 25 words → 3 chunks of ≤10, plus the short one
+    assert all(pid.startswith("WIT_") for pid in ds["passage_id"])
+    assert all(len(c.split()) <= 10 for c in ds["passage_content"])
+
+
+def test_remove_wit_passages_without_images():
+    data = {
+        "passages": datasets.Dataset.from_dict({
+            "passage_id": ["p0", "p1"],
+            "passage_content": ["a", "b"],
+        }),
+        "available_documents": {"p1": 1},
+    }
+    out = _functor(RemoveWITPassagesWithoutImages)(data)
+    assert list(out["passages"]["passage_id"]) == ["p1"]
+    assert len(out["full_passages"]) == 2
+
+
+def test_blip2_greedy_captions_tiny():
+    from PIL import Image
+
+    from reranking_multimodal_retrievers_tpu.data.ops.infoseek_ops import (
+        blip2_greedy_captions,
+    )
+    from reranking_multimodal_retrievers_tpu.models.blip2 import (
+        Blip2Config, Blip2ForConditionalGeneration,
+    )
+    from reranking_multimodal_retrievers_tpu.models.tokenization import (
+        tiny_bert_tokenizer,
+    )
+    import jax
+    import tempfile
+
+    cfg = Blip2Config.tiny()
+    model = Blip2ForConditionalGeneration(cfg)
+    import jax.numpy as jnp
+
+    ids = jnp.ones((1, 2), jnp.int32)
+    am = jnp.ones((1, 2), jnp.int32)
+    dec = jnp.zeros((1, 1), jnp.int32)
+    pix = jnp.zeros((1, 3, cfg.vision_config.image_size,
+                     cfg.vision_config.image_size), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, am, dec, pixel_values=pix)["params"]
+
+    with tempfile.TemporaryDirectory() as td:
+        tok = tiny_bert_tokenizer(td, ["a", "b", "c"])
+        imgs = [Image.new("RGB", (32, 32), c) for c in ("red", "blue")]
+        caps = blip2_greedy_captions(
+            model, params, tok, imgs, max_new_tokens=4,
+            image_size=cfg.vision_config.image_size,
+        )
+    assert len(caps) == 2
+    assert all(isinstance(c, str) for c in caps)
+
+
+def test_distillation_live_teacher_scores():
+    """Live-teacher distillation: FLMR scores (1 pos + N sampled negs) per
+    question (reference `distillation_data_ops.py:230-390`)."""
+    from reranking_multimodal_retrievers_tpu.data.ops.distillation_ops import (
+        PrepareDistillationScores,
+    )
+    from reranking_multimodal_retrievers_tpu.data.ops.m2kr_ops import make_dummy_m2kr
+
+    data = make_dummy_m2kr(num_rows=4, num_passages=8)
+    f = _functor(
+        PrepareDistillationScores,
+        flmr_config={
+            "text_config": {"vocab_size": 30522, "hidden_size": 32,
+                            "num_hidden_layers": 1, "num_attention_heads": 4,
+                            "intermediate_size": 64},
+            "vision_config": {"hidden_size": 32, "intermediate_size": 64,
+                              "num_hidden_layers": 1, "num_attention_heads": 4,
+                              "image_size": 32, "patch_size": 16},
+            "dim": 16,
+            "use_vision_encoder": False,
+        },
+        num_negatives=2,
+        query_maxlen=16,
+        doc_maxlen=24,
+    )
+    out = f(data)
+    row = out["train"][0]
+    assert len(row["neg_item_ids"]) == 2
+    assert len(row["scores"]) == 3  # 1 pos + 2 negs
+    assert all(np.isfinite(s) for s in row["scores"])
