@@ -53,8 +53,15 @@ def bench_rerank():
     K, L = 100, 512
     # rows per scan step: [CHUNK, 12, 512, 512] fp32 logits ≈ 13 MB/row
     CHUNK = int(os.environ.get("BENCH_CHUNK", 100))
+    # the [rows, 12, 512, 512] attention-score tensor dominates HBM traffic;
+    # bf16 score storage halves it (softmax still fp32 inside the fusion).
+    # BENCH_FLASH=1 routes through the Pallas flash kernel instead — measured
+    # slower than XLA's fused softmax at these shapes, kept as an option.
+    flash = os.environ.get("BENCH_FLASH", "0") == "1"
+    scores_bf16 = os.environ.get("BENCH_SCORES_BF16", "1") == "1"
+    bert_kw = dict(use_flash_attention=flash, attention_scores_bf16=scores_bf16)
     flmr = FLMRConfig(
-        text_config=BertConfig(),  # BERT-base
+        text_config=BertConfig(**bert_kw),  # BERT-base
         vision_config=CLIPVisionConfig(),  # ViT-B/32
         dim=128,
         mapping_network_prefix_length=32,
@@ -63,7 +70,8 @@ def bench_rerank():
     )
     cfg = RerankConfig(
         flmr=flmr,
-        cross_encoder=BertConfig(num_hidden_layers=1, max_position_embeddings=768),
+        cross_encoder=BertConfig(num_hidden_layers=1, max_position_embeddings=768,
+                                 **bert_kw),
         loss_fn="BCE",
         max_query_length=32,
         max_decoder_source_length=L,

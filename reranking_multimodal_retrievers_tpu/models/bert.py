@@ -38,6 +38,18 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     initializer_range: float = 0.02
     add_cross_attention: bool = False
+    # fused (flash) self-attention: never materializes the [B, heads, L, L]
+    # score tensor in HBM — the dominant memory traffic of the rerank
+    # forward. Only taken for self-attention with a padding-style mask (no
+    # attention_adj/cross-attention); numerics match the unfused path to
+    # ~1e-2 in bf16. NOTE: the generic kernel's tiling loses to XLA's fused
+    # softmax at head_dim 64 / seq 512 on v5e — measure before enabling.
+    use_flash_attention: bool = False
+    # store attention logits in bf16 (halves the score tensor's HBM
+    # write+read); the softmax itself still runs in fp32 inside the fused
+    # elementwise kernel. Inference-serving precision; keep False for
+    # training/parity.
+    attention_scores_bf16: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -74,12 +86,21 @@ def additive_mask(attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray
 
 
 class BertAttention(nn.Module):
-    """Multi-head attention + output projection + post-LN residual."""
+    """Multi-head attention + output projection + post-LN residual.
+
+    ``segment_mask`` ([B, L] 0/1 ints) enables the fused flash path when the
+    config allows it: the Pallas TPU flash-attention kernel streams K/V tiles
+    through VMEM with running softmax statistics, so the per-layer
+    [B, heads, L, L] score tensor — ~38 MB of HBM traffic per candidate per
+    layer at BERT-base/512 — never exists. Padding is expressed as segment
+    ids (valid=1, pad=0): valid tokens cannot attend padding; pad rows attend
+    each other and are masked out downstream exactly as in the unfused path."""
 
     config: BertConfig
 
     @nn.compact
-    def __call__(self, hidden_states, kv_states=None, mask_bias=None):
+    def __call__(self, hidden_states, kv_states=None, mask_bias=None,
+                 segment_mask=None, can_flash=False):
         cfg = self.config
         kv = hidden_states if kv_states is None else kv_states
         B, Lq, H = hidden_states.shape
@@ -90,15 +111,58 @@ class BertAttention(nn.Module):
         k = _dense(H, cfg, "key")(kv).reshape(B, Lk, nh, hd)
         v = _dense(H, cfg, "value")(kv).reshape(B, Lk, nh, hd)
 
-        scores = jnp.einsum(
-            "bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(hd).astype(jnp.float32)
-        if mask_bias is not None:
-            scores = scores + mask_bias
-        probs = nn.softmax(scores, axis=-1).astype(v.dtype)
-        ctx = jnp.einsum(
-            "bnqk,bknd->bqnd", probs, v, preferred_element_type=jnp.float32
-        ).astype(hidden_states.dtype)
+        use_flash = (
+            cfg.use_flash_attention and can_flash and kv_states is None
+        )
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds, flash_attention,
+            )
+
+            # the kernel tiles the sequence in 128-row blocks; pad ragged
+            # sequences with segment-0 rows (excluded from every real token's
+            # attention) and slice the outputs back
+            Lp = -(-Lq // 128) * 128
+            pad = Lp - Lq
+            ids = (
+                segment_mask.astype(jnp.int32)
+                if segment_mask is not None
+                else jnp.ones((B, Lq), jnp.int32)
+            )
+            qf, kf, vf = (
+                x.transpose(0, 2, 1, 3) for x in (q, k, v)
+            )  # [B, nh, L, hd]
+            if pad:
+                qf = jnp.pad(qf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                kf = jnp.pad(kf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                vf = jnp.pad(vf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                ids = jnp.pad(ids, ((0, 0), (0, pad)))
+            seg = (
+                SegmentIds(q=ids, kv=ids)
+                if (pad or segment_mask is not None)
+                else None
+            )
+            ctx = flash_attention(
+                qf, kf, vf, segment_ids=seg, sm_scale=float(hd) ** -0.5
+            )[:, :, :Lq].transpose(0, 2, 1, 3)
+            ctx = ctx.astype(hidden_states.dtype)
+        else:
+            score_dtype = (
+                jnp.bfloat16
+                if (cfg.attention_scores_bf16 and q.dtype == jnp.bfloat16)
+                else jnp.float32
+            )
+            scores = jnp.einsum(
+                "bqnd,bknd->bnqk", q, k, preferred_element_type=score_dtype
+            ) / jnp.asarray(jnp.sqrt(hd), score_dtype)
+            if mask_bias is not None:
+                scores = scores + mask_bias.astype(score_dtype)
+            probs = nn.softmax(
+                scores.astype(jnp.float32), axis=-1
+            ).astype(v.dtype)
+            ctx = jnp.einsum(
+                "bnqk,bknd->bqnd", probs, v, preferred_element_type=jnp.float32
+            ).astype(hidden_states.dtype)
         ctx = ctx.reshape(B, Lq, H)
 
         out = _dense(H, cfg, "out")(ctx)
@@ -112,10 +176,11 @@ class BertLayer(nn.Module):
 
     @nn.compact
     def __call__(self, hidden_states, mask_bias=None, encoder_hidden_states=None,
-                 encoder_mask_bias=None):
+                 encoder_mask_bias=None, segment_mask=None, can_flash=False):
         cfg = self.config
         hidden_states = BertAttention(cfg, name="attention")(
-            hidden_states, mask_bias=mask_bias
+            hidden_states, mask_bias=mask_bias,
+            segment_mask=segment_mask, can_flash=can_flash,
         )
         if cfg.add_cross_attention and encoder_hidden_states is not None:
             hidden_states = BertAttention(cfg, name="crossattention")(
@@ -143,7 +208,7 @@ class BertEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, hidden_states, mask_bias=None, encoder_hidden_states=None,
-                 encoder_mask_bias=None):
+                 encoder_mask_bias=None, segment_mask=None, can_flash=False):
         all_hidden = [hidden_states]
         for i in range(self.config.num_hidden_layers):
             hidden_states = BertLayer(self.config, name=f"layer_{i}")(
@@ -151,6 +216,8 @@ class BertEncoder(nn.Module):
                 mask_bias=mask_bias,
                 encoder_hidden_states=encoder_hidden_states,
                 encoder_mask_bias=encoder_mask_bias,
+                segment_mask=segment_mask,
+                can_flash=can_flash,
             )
             all_hidden.append(hidden_states)
         return hidden_states, tuple(all_hidden)
@@ -208,14 +275,19 @@ class BertModel(nn.Module):
         x = BertEmbeddings(cfg, name="embeddings")(
             input_ids, token_type_ids, inputs_embeds=inputs_embeds
         )
+        # the fused path applies only to plain padding masks; an attention_adj
+        # bias (attention fusion) needs the materialized score tensor
+        can_flash = cfg.use_flash_attention and attention_adj is None
         mask_bias = None
-        if attention_mask is not None:
+        if attention_mask is not None and not can_flash:
             mask_bias = additive_mask(attention_mask)
         if attention_adj is not None:
             adj = attention_adj[:, None, :, :]  # broadcast over heads
             mask_bias = adj if mask_bias is None else mask_bias + adj
         last_hidden, all_hidden = BertEncoder(cfg, name="encoder")(
-            x, mask_bias=mask_bias
+            x, mask_bias=mask_bias,
+            segment_mask=attention_mask if can_flash else None,
+            can_flash=can_flash,
         )
         pooled = None
         if self.add_pooling_layer:

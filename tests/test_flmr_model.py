@@ -125,3 +125,39 @@ def test_ib_loss_prefers_aligned_positives(tiny_setup):
     out = model.apply(params, **batch, num_negative_examples=1)
     # scores[:, 0] is the positive column by construction
     assert out.scores.shape[1] == 2
+
+
+def test_attention_scores_bf16_close_to_fp32():
+    """Inference-serving precision knob: bf16 attention-logit storage changes
+    bf16-model outputs only within bf16 round-off (the softmax itself still
+    runs in fp32 inside the fusion)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reranking_multimodal_retrievers_tpu.models.bert import BertConfig, BertModel
+
+    rng = np.random.default_rng(0)
+    B, L = 2, 64
+    ids = jnp.asarray(rng.integers(10, 1000, size=(B, L)), jnp.int32)
+    am = jnp.ones((B, L), jnp.int32).at[0, 50:].set(0)
+
+    cfg = BertConfig.tiny()
+    model_ref = BertModel(cfg)
+    model_b16 = BertModel(dataclasses.replace(cfg, attention_scores_bf16=True))
+    params = model_ref.init(jax.random.PRNGKey(0), ids, am)["params"]
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+    )
+    ref = np.asarray(
+        model_ref.apply({"params": params}, ids, am)["last_hidden_state"],
+        np.float32,
+    )
+    got = np.asarray(
+        model_b16.apply({"params": params}, ids, am)["last_hidden_state"],
+        np.float32,
+    )
+    valid = np.asarray(am).astype(bool)
+    assert np.abs(ref - got)[valid].max() < 0.08
