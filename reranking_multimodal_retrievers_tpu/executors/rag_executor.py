@@ -3,14 +3,29 @@
 The reference ships ``RagBlipExecutor`` (`src/executors/RAG_BLIP_executor.py:71`)
 whose model import is broken (`src/models/rag/` does not exist — SURVEY.md
 §2.6 documents it as capability, not working code). Here the capability is
-provided *working*: retrieve top-k docs (static results or a live index),
-generate an answer per doc with the native :class:`VisionSeq2SeqLM`
-(greedy decode), and score answers with the VQA metrics.
+provided *working*:
+
+- **Training** (reference `training_step`, `RAG_BLIP_executor.py:391-460`):
+  the RAG-sequence marginal likelihood. Each question retrieves K docs with
+  scores; the generator computes a teacher-forced answer log-likelihood per
+  doc and the loss marginalizes over the docs weighted by the retrieval
+  prior: ``−log Σ_k p(doc_k|q) · p(answer|q, doc_k)``. One jitted
+  ``[B·K, L]`` forward — no per-doc Python loop on device.
+- **Generation** (reference ``_generative_step``, `RAG_BLIP_executor.py:
+  520-648`): greedy decode per retrieved doc; the returned prediction is the
+  generation for the best-scoring doc and the per-doc generations plus the
+  doc scores are logged (the reference's ``generation_outputs_for_docs`` /
+  ``loss_with_doc_scores``).
+- **Backbones**: the compact native :class:`VisionSeq2SeqLM`, or
+  ``backbone: "blip2"`` for the real BLIP-2 (ViT → Q-Former → Flan-T5)
+  generator with optional HF-checkpoint bridging — the model family the
+  reference's executor name promises.
 """
 
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, List
 
 import numpy as np
@@ -32,6 +47,7 @@ class RagExecutor(RerankerExecutor):
 
     def _init_model(self):
         import jax
+        import jax.numpy as jnp
 
         mc = self.config.get_path("model_config", ConfigDict())
         self.modules = list(mc.get("modules", []))
@@ -39,64 +55,222 @@ class RagExecutor(RerankerExecutor):
         self.docs_to_rerank = mc.get("docs_to_rerank", 5)
         self.num_negative_samples = mc.get("num_negative_samples", 1)
         self.max_answer_length = mc.get("max_answer_length", 10)
+        self.max_source_length = mc.get("max_source_length", 64)
+        # docs marginalized over per training question (RAG-sequence K)
+        self.rag_num_docs = mc.get("rag_num_docs", min(self.docs_to_rerank, 4))
         dec_kwargs = dict(mc.get("decoder", {}))
-        self.generator_config = DecoderRerankConfig(
-            text_config=BertConfig(**dec_kwargs.pop("text_config", {})),
-            **dec_kwargs,
-        )
-        self.generator = VisionSeq2SeqLM(self.generator_config)
-        self._setup_corpus()
-        self.init_retrieve()
-        import jax.numpy as jnp
+        self.backbone = dec_kwargs.pop("backbone", "native")
+        if self.backbone == "blip2":
+            from ..models.blip2 import (
+                Blip2Config, Blip2ForConditionalGeneration, Blip2QFormerConfig,
+                Blip2VisionConfig,
+            )
+            from ..models.t5 import T5Config
+
+            self.generator_config = Blip2Config(
+                vision_config=Blip2VisionConfig(**dec_kwargs.pop("vision_config", {})),
+                qformer_config=Blip2QFormerConfig(
+                    **dec_kwargs.pop("qformer_config", {})
+                ),
+                text_config=T5Config(**dec_kwargs.pop("text_config", {})),
+                num_query_tokens=dec_kwargs.pop("num_query_tokens", 32),
+            )
+            self.generator = Blip2ForConditionalGeneration(self.generator_config)
+            self.decoder_start_token_id = (
+                self.generator_config.text_config.decoder_start_token_id
+            )
+        else:
+            self.generator_config = DecoderRerankConfig(
+                text_config=BertConfig(**dec_kwargs.pop("text_config", {})),
+                **dec_kwargs,
+            )
+            self.generator = VisionSeq2SeqLM(self.generator_config)
+            self.decoder_start_token_id = self.generator_config.decoder_start_token_id
         import random as _random
 
         self._rng = _random.Random(42)
-        self.params = self.generator.init(
-            jax.random.PRNGKey(0),
-            jnp.ones((1, 8), jnp.int32),
-            jnp.ones((1, 8), jnp.int32),
-            jnp.ones((1, 1), jnp.int32),
-        )["params"]
+        self._setup_corpus()
+        self.init_retrieve()
+        ckpt_dir = mc.get("decoder_checkpoint_dir")
+        if ckpt_dir and os.path.isdir(ckpt_dir) and self.backbone == "blip2":
+            from ..models.hf_bridge import blip2_params, load_torch_checkpoint_dir
+
+            logger.info("bridging BLIP-2 generator from %s", ckpt_dir)
+            self.params = blip2_params(
+                load_torch_checkpoint_dir(ckpt_dir), self.generator_config
+            )
+        else:
+            img = self.generator_config.vision_config.image_size
+            self.params = self.generator.init(
+                jax.random.PRNGKey(0),
+                jnp.ones((1, 8), jnp.int32),
+                jnp.ones((1, 8), jnp.int32),
+                jnp.ones((1, 1), jnp.int32),
+                jnp.zeros((1, 3, img, img), jnp.float32),
+            )["params"]
         self._train_state = None
+
+    # ------------------------------------------------- generator dispatch
+    def _encode(self, params, input_ids, attention_mask, pixel_values=None):
+        """(enc_states, enc_mask) for either backbone — safe under jit."""
+        if self.backbone == "blip2":
+            from ..models.blip2 import Blip2ForConditionalGeneration
+
+            return self.generator.apply(
+                {"params": params}, input_ids, attention_mask, pixel_values,
+                method=Blip2ForConditionalGeneration.encode_for_generation,
+            )
+        return self.generator.apply(
+            {"params": params}, input_ids, attention_mask, pixel_values,
+            method=VisionSeq2SeqLM.encode,
+        )
+
+    def _decode_logits(self, params, decoder_input_ids, enc_states, enc_mask):
+        if self.backbone == "blip2":
+            from ..models.blip2 import Blip2ForConditionalGeneration
+
+            return self.generator.apply(
+                {"params": params}, decoder_input_ids, enc_states, enc_mask,
+                method=Blip2ForConditionalGeneration.decode_logits,
+            )
+        logits, _h = self.generator.apply(
+            {"params": params}, decoder_input_ids, enc_states, enc_mask,
+            method=VisionSeq2SeqLM.decode,
+        )
+        return logits
 
     def generate(self, input_ids, attention_mask, pixel_values=None) -> np.ndarray:
         """Greedy decode under ``lax.scan`` (static length — XLA-friendly)."""
         import jax
         import jax.numpy as jnp
 
-        cfg = self.generator_config
+        if getattr(self, "_gen_fn", None) is None:
 
-        @jax.jit
-        def _gen(params, ids, mask, pix):
-            enc_states, enc_mask = self.generator.apply(
-                {"params": params}, ids, mask, pix,
-                method=VisionSeq2SeqLM.encode,
-            )
-            B = ids.shape[0]
-            start = jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)
+            @jax.jit
+            def _gen(params, ids, mask, pix):
+                enc_states, enc_mask = self._encode(params, ids, mask, pix)
+                B = ids.shape[0]
+                start = jnp.full((B, 1), self.decoder_start_token_id, jnp.int32)
 
-            def step(tokens, _):
-                logits, _h = self.generator.apply(
-                    {"params": params}, tokens, enc_states, enc_mask,
-                    method=VisionSeq2SeqLM.decode,
-                )
-                nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-                tokens = jnp.concatenate([tokens[:, 1:], nxt[:, None]], axis=1)
-                return tokens, nxt
+                def step(tokens, _):
+                    logits = self._decode_logits(params, tokens, enc_states, enc_mask)
+                    nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                    tokens = jnp.concatenate([tokens[:, 1:], nxt[:, None]], axis=1)
+                    return tokens, nxt
 
-            # fixed-width rolling window keeps shapes static
-            init = jnp.pad(start, ((0, 0), (self.max_answer_length - 1, 0)))
-            _, outs = jax.lax.scan(step, init, None, length=self.max_answer_length)
-            return jnp.swapaxes(outs, 0, 1)  # [B, L]
+                # fixed-width rolling window keeps shapes static
+                init = jnp.pad(start, ((0, 0), (self.max_answer_length - 1, 0)))
+                _, outs = jax.lax.scan(step, init, None,
+                                       length=self.max_answer_length)
+                return jnp.swapaxes(outs, 0, 1)  # [B, L]
 
-        return np.asarray(_gen(self.params, input_ids, attention_mask, pixel_values))
-
-    def training_step(self, batch) -> Dict[str, float]:
-        raise NotImplementedError(
-            "RAG training requires the generator checkpoint bridge; use the "
-            "reranker/retriever executors for training in this round"
+            self._gen_fn = _gen
+        return np.asarray(
+            self._gen_fn(self.params, input_ids, attention_mask, pixel_values)
         )
 
+    # ------------------------------------------------------------- train
+    def prepare_training(self, total_steps: int):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        tx, _ = self.build_optimizer(self.params, total_steps)
+        self._tx = tx
+        self._opt_state = tx.init(self.params)
+        packed = getattr(self, "_restored_opt_state", None)
+        if packed:
+            from ..training.checkpointing import unpack_opt_state
+
+            self._opt_state = unpack_opt_state(self._opt_state, packed)
+            self._restored_opt_state = None
+        K = self.rag_num_docs
+
+        @jax.jit
+        def step(params, opt_state, batch):
+            def loss_fn(p):
+                enc_states, enc_mask = self._encode(
+                    p, batch["input_ids"], batch["attention_mask"],
+                    batch.get("pixel_values"),
+                )
+                logits = self._decode_logits(
+                    p, batch["decoder_input_ids"], enc_states, enc_mask
+                )  # [B·K, La, V]
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                tok_ll = jnp.take_along_axis(
+                    logp, batch["labels"][..., None], axis=-1
+                )[..., 0]
+                seq_ll = (tok_ll * batch["label_mask"]).sum(-1)  # [B·K]
+                seq_ll = seq_ll.reshape(-1, K)
+                log_prior = jax.nn.log_softmax(
+                    batch["doc_scores"].astype(jnp.float32), axis=-1
+                )
+                # RAG-sequence marginal NLL over the K retrieved docs
+                return -jnp.mean(jax.nn.logsumexp(log_prior + seq_ll, axis=-1))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        self._step = step
+
+    def _answer_labels(self, tok, texts: List[str]):
+        enc = tok(
+            list(texts), padding="max_length", truncation=True,
+            max_length=self.max_answer_length, return_tensors="np",
+        )
+        labels = np.asarray(enc["input_ids"], np.int32)
+        mask = np.asarray(enc["attention_mask"], np.float32)
+        start = np.full((labels.shape[0], 1), self.decoder_start_token_id, np.int32)
+        dec_in = np.concatenate([start, labels[:, :-1]], axis=1)
+        return labels, mask, dec_in
+
+    def training_step(self, batch) -> Dict[str, float]:
+        import jax.numpy as jnp
+
+        tok = getattr(self.tokenizers.get("decoder_tokenizer"), "tok", None)
+        K = self.rag_num_docs
+        prompts, scores = [], []
+        for qi, qid in enumerate(batch["question_ids"]):
+            docs = self.static_retrieve(qid)[:K]
+            while docs and len(docs) < K:
+                docs = docs + docs[: K - len(docs)]
+            if not docs:
+                docs = [{"content": "", "score": 0.0}] * K
+            prompts.extend(
+                f"question: {batch['questions'][qi]} context: {d['content']}"
+                for d in docs
+            )
+            scores.append([float(d.get("score", 1.0)) for d in docs])
+        enc = tok(prompts, padding="max_length", truncation=True,
+                  max_length=self.max_source_length, return_tensors="np")
+        gold = [
+            g or (a[0] if a else "")
+            for g, a in zip(
+                batch.get("gold_answer", [""] * len(batch["question_ids"])),
+                batch.get("answers", [[]] * len(batch["question_ids"])),
+            )
+        ]
+        labels, label_mask, dec_in = self._answer_labels(tok, gold)
+        model_batch = dict(
+            input_ids=jnp.asarray(enc["input_ids"], jnp.int32),
+            attention_mask=jnp.asarray(enc["attention_mask"], jnp.int32),
+            decoder_input_ids=jnp.asarray(np.repeat(dec_in, K, axis=0)),
+            labels=jnp.asarray(np.repeat(labels, K, axis=0)),
+            label_mask=jnp.asarray(np.repeat(label_mask, K, axis=0)),
+            doc_scores=jnp.asarray(scores, jnp.float32),
+        )
+        pix = batch.get("pixel_values")
+        if pix is not None:
+            model_batch["pixel_values"] = jnp.asarray(
+                np.repeat(np.asarray(pix), K, axis=0), jnp.float32
+            )
+        self.params, self._opt_state, loss = self._step(
+            self.params, self._opt_state, model_batch
+        )
+        return {"loss": float(np.asarray(loss))}
+
+    # -------------------------------------------------------------- eval
     def evaluate(self, mode: str = "test") -> ConfigDict:
         import jax.numpy as jnp
 
@@ -110,24 +284,40 @@ class RagExecutor(RerankerExecutor):
                 if limit and bi >= limit:
                     break
                 real = batch.get("_real_count", len(batch["question_ids"]))
+                pix_all = batch.get("pixel_values")
                 for qi in range(real):
                     qid = batch["question_ids"][qi]
                     docs = self.static_retrieve(qid)[: self.docs_to_rerank]
+                    doc_scores = [float(d.get("score", 1.0)) for d in docs]
                     prompts = [
                         f"question: {batch['questions'][qi]} context: {d['content']}"
                         for d in docs
                     ] or [f"question: {batch['questions'][qi]}"]
                     enc = tok(prompts, padding="max_length", truncation=True,
-                              max_length=64, return_tensors="np")
+                              max_length=self.max_source_length,
+                              return_tensors="np")
+                    pix = None
+                    if pix_all is not None:
+                        pix = jnp.asarray(
+                            np.repeat(np.asarray(pix_all)[qi : qi + 1],
+                                      len(prompts), axis=0),
+                            jnp.float32,
+                        )
                     out_tokens = self.generate(
                         jnp.asarray(enc["input_ids"], jnp.int32),
                         jnp.asarray(enc["attention_mask"], jnp.int32),
+                        pix,
                     )
-                    answers = [tok.decode(t, skip_special_tokens=True) for t in out_tokens]
+                    answers = [tok.decode(t, skip_special_tokens=True)
+                               for t in out_tokens]
+                    # final prediction = the generation for the best-scoring
+                    # doc (the reference's `generation_outputs.outputs` pick)
+                    best = int(np.argmax(doc_scores)) if doc_scores else 0
                     results.append({
                         "question_id": qid,
-                        "prediction": answers[0] if answers else "",
+                        "prediction": answers[best] if answers else "",
                         "per_doc_predictions": answers,
+                        "loss_with_doc_scores": doc_scores,
                         "answers": batch.get("answers", [[]])[qi],
                     })
         data_dict = {

@@ -183,3 +183,39 @@ def test_prepare_data_mode(tmp_path):
         "--opts", *(_opts(tmp_path, "prep")),
     ])
     assert rc == 0
+
+
+def test_rag_blip2_train_then_test(tmp_path):
+    """RAG answer generation (reference `RAG_BLIP_executor.py` — working
+    here: RAG-sequence marginal loss over retrieved docs + per-doc greedy
+    generation with a BLIP-2 generator)."""
+    rc = main([
+        "--config", "configs/okvqa_rag_blip2.json", "--mode", "train",
+        "--use_dummy_data",
+        "--opts", *(_opts(tmp_path, "rag")),
+        "train.trainer_paras.max_epochs=1",
+        "valid.trainer_paras.limit_val_batches=0",
+    ])
+    assert rc == 0
+    exp_dir = str(tmp_path / "experiments" / "okvqa_rag_blip2" / "version_0")
+    assert os.path.exists(os.path.join(exp_dir, "metrics.jsonl"))
+    with open(os.path.join(exp_dir, "metrics.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    losses = [r["loss"] for r in rows if "loss" in r]
+    assert losses and all(l == l for l in losses)  # finite, no NaN
+
+    rc = main([
+        "--config", "configs/okvqa_rag_blip2.json", "--mode", "test",
+        "--use_dummy_data",
+        "--opts", *(_opts(tmp_path, "rag")),
+        f"meta.experiment_dir='{exp_dir}'",
+        "test.trainer_paras.limit_test_batches=1",
+    ])
+    assert rc == 0
+    preds = os.path.join(exp_dir, "test_predictions_rank_0.json")
+    with open(preds) as f:
+        dump = json.load(f)
+    assert "exact_match" in dump["metrics"]
+    entry = dump["predictions"][0]
+    assert "per_doc_predictions" in entry and "loss_with_doc_scores" in entry
+    assert len(entry["per_doc_predictions"]) == len(entry["loss_with_doc_scores"])
