@@ -161,3 +161,25 @@ def test_attention_scores_bf16_close_to_fp32():
     )
     valid = np.asarray(am).astype(bool)
     assert np.abs(ref - got)[valid].max() < 0.08
+
+
+def test_gelu_approximate_close_to_exact():
+    """tanh-GELU inference knob stays within bf16 round-off of exact erf."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reranking_multimodal_retrievers_tpu.models.bert import BertConfig, BertModel
+
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(10, 1000, size=(2, 48)), jnp.int32)
+    am = jnp.ones((2, 48), jnp.int32)
+    cfg = BertConfig.tiny()
+    model_ref = BertModel(cfg)
+    model_tanh = BertModel(dataclasses.replace(cfg, gelu_approximate=True))
+    params = model_ref.init(jax.random.PRNGKey(0), ids, am)["params"]
+    ref = np.asarray(model_ref.apply({"params": params}, ids, am)["last_hidden_state"])
+    got = np.asarray(model_tanh.apply({"params": params}, ids, am)["last_hidden_state"])
+    assert np.abs(ref - got).max() < 0.05
