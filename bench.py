@@ -63,8 +63,11 @@ def bench_rerank():
     # wall-clock (933.7 vs 795.7 cand/s); rank error vs fp32-exact logits is
     # within bf16 round-off (spearman 0.9994, top-1 unchanged at K=100)
     gelu_tanh = os.environ.get("BENCH_GELU_TANH", "1") == "1"
+    # layout-native Pallas attention: 3.15× the XLA attention core at these
+    # shapes (no transposes, scores live in VMEM) — ops/attention_pallas.py
+    pallas_attn = os.environ.get("BENCH_PALLAS_ATTN", "1") == "1"
     bert_kw = dict(use_flash_attention=flash, attention_scores_bf16=scores_bf16,
-                   gelu_approximate=gelu_tanh)
+                   gelu_approximate=gelu_tanh, use_pallas_attention=pallas_attn)
     flmr = FLMRConfig(
         text_config=BertConfig(**bert_kw),  # BERT-base
         vision_config=CLIPVisionConfig(),  # ViT-B/32

@@ -45,6 +45,13 @@ class BertConfig:
     # ~1e-2 in bf16. NOTE: the generic kernel's tiling loses to XLA's fused
     # softmax at head_dim 64 / seq 512 on v5e — measure before enabling.
     use_flash_attention: bool = False
+    # layout-native fused self-attention (ops/attention_pallas.py): consumes
+    # Q/K/V in the layer's own [B, L, heads·head_dim] layout (no transposes),
+    # keeps scores in VMEM, takes the padding mask as an additive key bias.
+    # 3.15× the XLA attention core at [100, 12, 512, 64] bf16 on v5e
+    # (1.46 vs 4.61 ms). Same gate as flash (self-attention, padding-style
+    # mask only); takes precedence over use_flash_attention.
+    use_pallas_attention: bool = False
     # store attention logits in bf16 (halves the score tensor's HBM
     # write+read); the softmax itself still runs in fp32 inside the fused
     # elementwise kernel. Inference-serving precision; keep False for
@@ -112,10 +119,20 @@ class BertAttention(nn.Module):
         Lk = kv.shape[1]
         nh, hd = cfg.num_attention_heads, cfg.head_dim
 
-        q = _dense(H, cfg, "query")(hidden_states).reshape(B, Lq, nh, hd)
-        k = _dense(H, cfg, "key")(kv).reshape(B, Lk, nh, hd)
-        v = _dense(H, cfg, "value")(kv).reshape(B, Lk, nh, hd)
+        q3 = _dense(H, cfg, "query")(hidden_states)
+        k3 = _dense(H, cfg, "key")(kv)
+        v3 = _dense(H, cfg, "value")(kv)
+        q = q3.reshape(B, Lq, nh, hd)
+        k = k3.reshape(B, Lk, nh, hd)
+        v = v3.reshape(B, Lk, nh, hd)
 
+        # layout-native fused kernel: no transposes, padding as additive key
+        # bias, scores live in VMEM (see ops/attention_pallas.py)
+        hpb = max(1, -(-128 // hd))
+        use_pallas = (
+            cfg.use_pallas_attention and can_flash and kv_states is None
+            and Lq % 8 == 0 and nh % hpb == 0 and (hpb * hd) % 128 == 0
+        )
         # the kernel's default tiles lose to XLA's fused softmax at these
         # shapes; full-sequence tiles with a batched grid win (measured
         # 3.20 → 1.81 ms at [100, 12, 512, 64] bf16 on v5e). Tile choice must
@@ -126,9 +143,26 @@ class BertAttention(nn.Module):
         flash_bq = next((b for b in (512, 256, 128) if Lq_pad % b == 0), None)
         use_flash = (
             cfg.use_flash_attention and can_flash and kv_states is None
-            and Lq >= 256 and flash_bq is not None
+            and Lq >= 256 and flash_bq is not None and not use_pallas
         )
-        if use_flash:
+        if use_pallas:
+            import jax
+
+            from ..ops.attention_pallas import fused_self_attention
+
+            bias = None
+            if segment_mask is not None:
+                bias = (
+                    1.0 - segment_mask.astype(jnp.float32)
+                ) * ATTN_MASK_BIAS
+            ctx = fused_self_attention(
+                q3, k3, v3, bias, num_heads=nh, sm_scale=float(hd) ** -0.5,
+                # interpret mode keeps the flag usable (if slow) off-TPU —
+                # CPU tests and the virtual-device dryrun exercise the same
+                # code path the chip runs
+                interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+            ).astype(hidden_states.dtype)
+        elif use_flash:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 BlockSizes, SegmentIds, flash_attention,
             )
@@ -175,6 +209,11 @@ class BertAttention(nn.Module):
                 if (cfg.attention_scores_bf16 and q.dtype == jnp.bfloat16)
                 else jnp.float32
             )
+            if mask_bias is None and segment_mask is not None:
+                # the caller planned on a fused path (and so passed the raw
+                # mask, not a bias) but this shape fell back to unfused —
+                # rebuild the additive bias so padding is still masked
+                mask_bias = additive_mask(segment_mask)
             scores = jnp.einsum(
                 "bqnd,bknd->bnqk", q, k, preferred_element_type=score_dtype
             ) / jnp.asarray(jnp.sqrt(hd), score_dtype)
@@ -298,9 +337,11 @@ class BertModel(nn.Module):
         x = BertEmbeddings(cfg, name="embeddings")(
             input_ids, token_type_ids, inputs_embeds=inputs_embeds
         )
-        # the fused path applies only to plain padding masks; an attention_adj
+        # the fused paths apply only to plain padding masks; an attention_adj
         # bias (attention fusion) needs the materialized score tensor
-        can_flash = cfg.use_flash_attention and attention_adj is None
+        can_flash = (
+            cfg.use_flash_attention or cfg.use_pallas_attention
+        ) and attention_adj is None
         mask_bias = None
         if attention_mask is not None and not can_flash:
             mask_bias = additive_mask(attention_mask)

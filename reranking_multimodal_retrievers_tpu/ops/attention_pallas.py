@@ -1,0 +1,134 @@
+"""Fused multi-head self-attention as a Pallas TPU kernel, layout-native.
+
+The stock Pallas flash kernel wants [B, heads, L, head_dim] and segment-id
+masking; feeding it from a transformer layer costs four HBM-round-trip
+transposes plus segment bookkeeping — measured to erase its 1.8× win over
+XLA's fused softmax at rerank shapes ([100, 12, 512, 64] bf16 on v5e).
+
+This kernel instead consumes Q/K/V exactly as the layer produces them —
+``[B, L, heads·head_dim]`` straight from the QKV projections — and grids
+over (batch-tile, head): the BlockSpec index map slices one head's
+``[rows, L, head_dim]`` strip per step, so the "transpose" happens inside
+the HBM→VMEM copy that the pipeline does anyway. Padding is an additive
+``[B, L]`` key-side bias (0 keep / −1e9 drop), applied before the softmax —
+the same convention as the unfused path (`bert.py additive_mask`), not
+segment ids. Scores stay in VMEM for the whole (tile, head) step: per-layer
+HBM traffic drops by the [B, heads, L, L] score+prob tensors entirely.
+
+Numerics: QK^T in bf16 (the serving configuration — `attention_scores_bf16`),
+max-subtraction + exp + sum in fp32, PV accumulated in fp32 on the MXU.
+No flash-style streaming statistics are needed: one head × one batch-tile's
+full [rows, L, L] score block fits VMEM at L ≤ 1024.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale,
+                 heads_per_block, head_dim):
+    # Mosaic requires lane-dim blocks of ≥128, so each grid step carries
+    # `heads_per_block` packed heads and slices them here (static lane
+    # offsets — register-level, no HBM traffic)
+    bias = None
+    if bias_ref is not None:
+        bias = bias_ref[:, 0:1, :].astype(jnp.float32)  # [bb, 1, Lk]
+    for h in range(heads_per_block):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[:, :, sl]  # [bb, L, hd]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [bb, Lq, Lk]
+        s = s * sm_scale
+        if bias is not None:
+            s = s + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [bb, Lq, hd]
+        o_ref[:, :, sl] = o.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "sm_scale", "block_b", "interpret")
+)
+def fused_self_attention(q, k, v, mask_bias=None, *, num_heads: int,
+                         sm_scale: float, block_b: int = 5,
+                         interpret: bool = False):
+    """Softmax(QKᵀ·scale + bias)·V over heads packed in the last dim.
+
+    q/k/v: [B, L, num_heads·head_dim] (the projection outputs, un-reshaped).
+    mask_bias: optional [B, L] additive key bias (0 keep / −1e9 drop).
+    Returns [B, L, num_heads·head_dim]. B must divide by a tile ≤ block_b.
+    """
+    B, L, HD = q.shape
+    hd = HD // num_heads
+    # lane-dim blocks must be ≥128: pack ceil(128/hd) heads per step
+    hpb = max(1, -(-128 // hd))
+    assert num_heads % hpb == 0 and (hpb * hd) % 128 == 0, (num_heads, hd)
+    bb = next(b for b in range(min(block_b, B), 0, -1) if B % b == 0)
+    grid = (B // bb, num_heads // hpb)
+
+    x_spec = pl.BlockSpec((bb, L, hpb * hd), lambda i, n: (i, 0, n))
+    in_specs = [x_spec, x_spec, x_spec]
+    args = [q, k, v]
+    kw = dict(sm_scale=sm_scale, heads_per_block=hpb, head_dim=hd)
+    if mask_bias is not None:
+        # sublane-dim blocks must be 8-divisible — broadcast the [B, L] bias
+        # to [B, 8, L] (tiny: fp32 bias is ~1.6 MB at rerank shapes)
+        in_specs.append(pl.BlockSpec((bb, 8, L), lambda i, n: (i, 0, 0)))
+        args.append(
+            jnp.broadcast_to(
+                mask_bias.astype(jnp.float32)[:, None, :], (B, 8, L)
+            )
+        )
+        kernel = functools.partial(_attn_kernel, **kw)
+    else:
+        kernel = functools.partial(_no_bias_kernel, **kw)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((B, L, HD), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _no_bias_kernel(q_ref, k_ref, v_ref, o_ref, **kw):
+    _attn_kernel(q_ref, k_ref, v_ref, None, o_ref, **kw)
+
+
+def fused_self_attention_reference(q, k, v, mask_bias=None, *, num_heads: int,
+                                   sm_scale: float):
+    """Unfused oracle for tests (matches the bert.py unfused path)."""
+    B, L, HD = q.shape
+    hd = HD // num_heads
+    qh = q.reshape(B, L, num_heads, hd)
+    kh = k.reshape(B, L, num_heads, hd)
+    vh = v.reshape(B, L, num_heads, hd)
+    s = jnp.einsum("bqnd,bknd->bnqk", qh, kh,
+                   preferred_element_type=jnp.float32) * sm_scale
+    if mask_bias is not None:
+        s = s + mask_bias[:, None, None, :].astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1).astype(vh.dtype)
+    o = jnp.einsum("bnqk,bknd->bqnd", p, vh,
+                   preferred_element_type=jnp.float32).astype(q.dtype)
+    return o.reshape(B, L, HD)

@@ -58,3 +58,112 @@ def test_pallas_all_masked_doc():
     np.testing.assert_allclose(got[:, valid], want[:, valid], rtol=1e-4, atol=1e-4)
     # masked docs can never win
     assert (got[:, 2:3] < got[:, valid] - 1000).all()
+
+
+class TestFusedSelfAttention:
+    """Layout-native fused attention kernel (ops/attention_pallas.py),
+    interpret mode on CPU."""
+
+    def _mk(self, B=4, L=32, NH=4, HD=32, seed=0):
+        import numpy as np
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        mk = lambda: jnp.asarray(rng.normal(size=(B, L, NH * HD)), jnp.float32)
+        return mk(), mk(), mk(), NH, HD
+
+    def test_matches_reference_no_mask(self):
+        import numpy as np
+
+        from reranking_multimodal_retrievers_tpu.ops.attention_pallas import (
+            fused_self_attention, fused_self_attention_reference,
+        )
+
+        q, k, v, NH, HD = self._mk()
+        got = fused_self_attention(q, k, v, num_heads=NH, sm_scale=HD ** -0.5,
+                                   interpret=True)
+        ref = fused_self_attention_reference(q, k, v, num_heads=NH,
+                                             sm_scale=HD ** -0.5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_matches_reference_with_padding_bias(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from reranking_multimodal_retrievers_tpu.ops.attention_pallas import (
+            fused_self_attention, fused_self_attention_reference,
+        )
+
+        q, k, v, NH, HD = self._mk(seed=1)
+        bias = jnp.zeros((q.shape[0], q.shape[1]), jnp.float32)
+        bias = bias.at[:, 24:].set(-1e9)
+        got = fused_self_attention(q, k, v, bias, num_heads=NH,
+                                   sm_scale=HD ** -0.5, interpret=True)
+        ref = fused_self_attention_reference(q, k, v, bias, num_heads=NH,
+                                             sm_scale=HD ** -0.5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_bert_model_pallas_attention_matches_unfused(self):
+        """BertModel with use_pallas_attention reproduces the unfused model
+        (same params), including padding-mask handling. tiny() has
+        head_dim 8 (< the kernel's 128-lane minimum), so this exercises the
+        unfused fallback — in particular the padding-mask reconstruction
+        when the caller planned on the fused path."""
+        import dataclasses
+
+        import jax
+        import numpy as np
+        import jax.numpy as jnp
+
+        from reranking_multimodal_retrievers_tpu.models.bert import (
+            BertConfig, BertModel,
+        )
+
+        rng = np.random.default_rng(2)
+        B, L = 2, 32
+        ids = jnp.asarray(rng.integers(10, 1000, size=(B, L)), jnp.int32)
+        am = jnp.ones((B, L), jnp.int32).at[0, 20:].set(0)
+        cfg = BertConfig.tiny()
+        model_ref = BertModel(cfg)
+        model_pl = BertModel(dataclasses.replace(cfg, use_pallas_attention=True))
+        params = model_ref.init(jax.random.PRNGKey(0), ids, am)["params"]
+        ref = np.asarray(
+            model_ref.apply({"params": params}, ids, am)["last_hidden_state"]
+        )
+        got = np.asarray(
+            model_pl.apply({"params": params}, ids, am)["last_hidden_state"]
+        )
+        valid = np.asarray(am).astype(bool)
+        np.testing.assert_allclose(got[valid], ref[valid], atol=2e-5, rtol=1e-4)
+
+    def test_bert_model_pallas_attention_kernel_path(self):
+        """head_dim 32 → 4 heads/block: the kernel path proper (interpret)."""
+        import dataclasses
+
+        import jax
+        import numpy as np
+        import jax.numpy as jnp
+
+        from reranking_multimodal_retrievers_tpu.models.bert import (
+            BertConfig, BertModel,
+        )
+
+        rng = np.random.default_rng(3)
+        B, L = 2, 32
+        ids = jnp.asarray(rng.integers(10, 1000, size=(B, L)), jnp.int32)
+        am = jnp.ones((B, L), jnp.int32).at[1, 24:].set(0)
+        cfg = BertConfig.tiny(hidden_size=128, num_attention_heads=4,
+                              intermediate_size=256)
+        model_ref = BertModel(cfg)
+        model_pl = BertModel(dataclasses.replace(cfg, use_pallas_attention=True))
+        params = model_ref.init(jax.random.PRNGKey(0), ids, am)["params"]
+        ref = np.asarray(
+            model_ref.apply({"params": params}, ids, am)["last_hidden_state"]
+        )
+        got = np.asarray(
+            model_pl.apply({"params": params}, ids, am)["last_hidden_state"]
+        )
+        valid = np.asarray(am).astype(bool)
+        np.testing.assert_allclose(got[valid], ref[valid], atol=2e-5, rtol=1e-4)
