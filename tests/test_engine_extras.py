@@ -119,3 +119,52 @@ def test_legacy_retrievers():
         out, _ = model.init_with_output(jax.random.PRNGKey(0), **call_kwargs)
         assert out.scores.shape == (B, B * nway)
         assert np.isfinite(float(out.loss))
+
+def test_legacy_multiple_mapping_and_mae_and_rag():
+    from reranking_multimodal_retrievers_tpu.models.legacy_retrievers import (
+        VisualColBERTMultipleMapping, MultiMappingConfig,
+        VisualColBERTMAE, MAERetrieverConfig,
+        VisualDPRForRAG, DPRConfig,
+    )
+
+    rng = np.random.default_rng(1)
+    B, nway, Lq, Ld = 2, 2, 6, 10
+    qi = jnp.asarray(rng.integers(5, 500, size=(B, Lq)), jnp.int32)
+    qm = jnp.ones((B, Lq), jnp.int32)
+    di = jnp.asarray(rng.integers(5, 500, size=(B * nway, Ld)), jnp.int32)
+    dm = jnp.ones((B * nway, Ld), jnp.int32)
+
+    # MultipleMapping: two projections with prefix lengths (2, 3) → Lq+5 rows
+    mm_cfg = MultiMappingConfig.tiny()
+    feats = jnp.asarray(rng.normal(size=(B, mm_cfg.vision_embedding_size)),
+                        jnp.float32)
+    out, _ = VisualColBERTMultipleMapping(mm_cfg).init_with_output(
+        jax.random.PRNGKey(0), qi, qm, feats, di, dm, num_negative_examples=1)
+    assert out.query_embeddings.shape == (B, Lq + sum(mm_cfg.prefix_lengths), mm_cfg.dim)
+    assert np.isfinite(float(out.loss))
+    # rows are unit-norm after the final L2 normalization
+    norms = np.linalg.norm(np.asarray(out.query_embeddings), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+    # MAE: vision-only query (patch tokens only, no text rows)
+    mae_cfg = MAERetrieverConfig.tiny()
+    pix = jnp.asarray(
+        rng.normal(size=(B, 3, mae_cfg.vision_config.image_size,
+                         mae_cfg.vision_config.image_size)), jnp.float32)
+    out, _ = VisualColBERTMAE(mae_cfg).init_with_output(
+        jax.random.PRNGKey(0), pix, di, dm, num_negative_examples=1)
+    n_patches = (mae_cfg.vision_config.image_size
+                 // mae_cfg.vision_config.patch_size) ** 2
+    assert out.query_embeddings.shape == (B, n_patches + 1, mae_cfg.dim)
+    assert np.isfinite(float(out.loss))
+
+    # VisualDPRForRAG: pooled query vector = text CLS + summed vision prefix
+    rag_cfg = DPRConfig.tiny(vision_prefix_length=3)
+    feats = jnp.asarray(
+        rng.normal(size=(B, rag_cfg.vision_config.hidden_size)), jnp.float32)
+    pooled, variables = VisualDPRForRAG(rag_cfg).init_with_output(
+        jax.random.PRNGKey(0), qi, qm, feats)
+    assert pooled.shape == (B, rag_cfg.text_config.hidden_size)
+    # the vision features must influence the pooled output
+    pooled2 = VisualDPRForRAG(rag_cfg).apply(variables, qi, qm, feats * 2.0)
+    assert not np.allclose(np.asarray(pooled), np.asarray(pooled2))
