@@ -222,3 +222,81 @@ class CaptionImageWithBLIP2(HFDatasetTransform):
                     load_from_cache_file=False,
                 )
         return data
+
+@register_transform_functor
+class CaptionImageWithBLIP2v2(CaptionImageWithBLIP2):
+    """v1 + a shared caption index (reference `:766-937` writes every caption
+    into an ES ``image_captions`` index so other pipelines can look them up):
+    captions are published to the :class:`FeatureStore` keyed by ``image_id``
+    as they are produced."""
+
+    def setup(self, caption_store_dir="./embedding_cache",
+              index_name="image_captions", **kwargs):
+        from ..feature_store import FeatureStore
+
+        self.store = FeatureStore(caption_store_dir, index_name=index_name)
+        return super().setup(**kwargs)
+
+    def _call(self, data):
+        data = super()._call(data)
+        for split in [s for s in data.keys() if not s.endswith("_passages")]:
+            cols = data[split].column_names
+            if "caption" not in cols:
+                continue
+            key_col = "image_id" if "image_id" in cols else "question_id"
+            for key, cap in zip(data[split][key_col], data[split]["caption"]):
+                self.store.put(str(key), cap)
+        return data
+
+
+@register_transform_functor
+class CaptionImageWithBLIP2v3(CaptionImageWithBLIP2v2):
+    """Resumable captioning (reference `:939-1133`: checks the ES index and
+    only captions images not yet present, so a preempted multi-process pass
+    continues where it stopped): rows whose ``image_id`` already has a stored
+    caption are restored from the store and never re-decoded."""
+
+    def _call(self, data):
+        store = self.store
+        restored = {"n": 0}
+
+        def restore(example):
+            cols_key = "image_id" if "image_id" in example else "question_id"
+            cached = store.get(str(example[cols_key]))
+            if cached is not None:
+                example["caption"] = cached
+                restored["n"] += 1
+            return example
+
+        # pre-fill from the store, then caption only the rows still missing
+        for split in [s for s in data.keys() if not s.endswith("_passages")]:
+            data[split] = data[split].map(restore, load_from_cache_file=False)
+
+        def needs_caption(example):
+            return not example.get("caption")
+
+        pending = {
+            split: data[split].filter(needs_caption, load_from_cache_file=False)
+            for split in data.keys() if not split.endswith("_passages")
+        }
+        n_pending = sum(len(v) for v in pending.values())
+        logger.info("BLIP2v3: %d captions restored from store, %d pending",
+                    restored["n"], n_pending)
+        if n_pending:
+            fresh = super()._call(
+                {k: v for k, v in pending.items() if len(v)})
+            # merge fresh captions back by key
+            for split, table in fresh.items():
+                cols = table.column_names
+                key_col = "image_id" if "image_id" in cols else "question_id"
+                by_key = dict(zip(table[key_col], table["caption"]))
+
+                def fill(example):
+                    k = example["image_id" if "image_id" in example
+                                else "question_id"]
+                    if not example.get("caption") and k in by_key:
+                        example["caption"] = by_key[k]
+                    return example
+
+                data[split] = data[split].map(fill, load_from_cache_file=False)
+        return data

@@ -240,6 +240,259 @@ class IndexWITPassagesWithElasticSearch(HFDatasetTransform):
 
 
 @register_transform_functor
+class LoadWITPassages(HFDatasetTransform):
+    """Concatenate train+valid WIT rows into a passage corpus: assign
+    ``WIT_{i}`` passage ids and render ``passage_content`` from the page /
+    section / caption fields in the reference's exact field order
+    (reference `:464-524`)."""
+
+    _FIELDS = (
+        ("section_title", "section title"),
+        ("hierarchical_section_title", "hierarchical section title"),
+        ("caption_reference_description", "caption reference description"),
+        ("caption_attribution_description", "caption attribution description"),
+        ("caption_alt_text_description", "caption alt text description"),
+    )
+
+    def setup(self, **kwargs):
+        return self
+
+    def _call(self, data):
+        import datasets
+
+        parts = [data[s] for s in ("train", "valid") if s in data]
+        full = datasets.concatenate_datasets(parts) if len(parts) > 1 else parts[0]
+        full = full.add_column("passage_id",
+                               [f"WIT_{i}" for i in range(len(full))])
+
+        def render(item):
+            content = f"title: {item.get('page_title')}"
+            for col, label in self._FIELDS:
+                if item.get(col) is not None:
+                    content += f" {label}: {item[col]}"
+            content += f" content: {item.get('context_page_description')}"
+            item["passage_content"] = content
+            return item
+
+        full = full.map(render, load_from_cache_file=False)
+        return datasets.DatasetDict({"passages": full})
+
+
+def _validate_image(path) -> bool:
+    """True iff ``path`` exists and decodes as an image."""
+    import os
+
+    if not path or not os.path.exists(path):
+        return False
+    try:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            im.verify()
+        return True
+    except Exception:
+        return False
+
+
+@register_transform_functor
+class PrepareImagesForWITData(HFDatasetTransform):
+    """Build the WIT image registry ``{image_id: {img_id, img_path}}`` and
+    filter each split to rows whose image file is present on disk (reference
+    `:146-326`; the reference's 128-thread rotating-user-agent downloader is
+    an offline concern — here images are expected pre-fetched under
+    ``image_data_path``, and rows without a decodable file are dropped the
+    same way the reference drops failed downloads)."""
+
+    def setup(self, image_data_path=None, validate: bool = True, **kwargs):
+        self.image_data_path = image_data_path
+        self.validate = validate
+        return self
+
+    def _call(self, data):
+        import os
+
+        images = {}
+        for split in [s for s in data.keys()
+                      if s not in ("passages",) and not s.endswith("_passages")]:
+            split_ds = data[split]
+            if not hasattr(split_ds, "column_names") or \
+                    "image_id" not in split_ds.column_names:
+                continue
+            keep_rows = []
+            for i, image_id in enumerate(split_ds["image_id"]):
+                path = (split_ds[i].get("img_path")
+                        or (os.path.join(self.image_data_path, f"{image_id}.jpg")
+                            if self.image_data_path else None))
+                ok = (not self.validate) or self.use_dummy_data or _validate_image(path)
+                if ok:
+                    keep_rows.append(i)
+                    images[image_id] = {"img_id": image_id, "img_path": path}
+            if len(keep_rows) != len(split_ds):
+                data[split] = split_ds.select(keep_rows)
+                logger.info("%s: kept %d/%d rows with valid images",
+                            split, len(keep_rows), len(split_ds))
+        data["images"] = images
+        return data
+
+
+@register_transform_functor
+class PrepareImagesForWITDataFromPassages(HFDatasetTransform):
+    """Same registry construction, but driven by the *passage* table
+    (reference `:328-462`) — used when the passage corpus, not the question
+    split, is the source of image ids."""
+
+    def setup(self, image_data_path=None, validate: bool = True, **kwargs):
+        self.image_data_path = image_data_path
+        self.validate = validate
+        return self
+
+    def _call(self, data):
+        import os
+
+        key = "passages" if "passages" in data else next(
+            k for k in data.keys() if k.endswith("_passages"))
+        table = data[key]
+        images = {}
+        for row in table:
+            image_id = row.get("image_id")
+            if image_id is None:
+                continue
+            path = (row.get("img_path")
+                    or (os.path.join(self.image_data_path, f"{image_id}.jpg")
+                        if self.image_data_path else None))
+            if (not self.validate) or self.use_dummy_data or _validate_image(path):
+                images[image_id] = {"img_id": image_id, "img_path": path}
+        logger.info("image registry from passages: %d entries", len(images))
+        data["images"] = images
+        return data
+
+
+@register_transform_functor
+class PrepareWITPassageAnnotations(HFDatasetTransform):
+    """Mine pseudo-relevance labels for WIT questions against the lexical
+    passage index (reference `:954-1182`, ES multi-match replaced by the
+    in-process BM25): per question, retrieve top-k, keep hits as
+    ``pos_item_ids`` (string-containment-checked against answers when answers
+    exist), and accumulate every hit into ``available_documents`` for the
+    corpus-reduction node."""
+
+    def setup(self, k: int = 10, **kwargs):
+        self.k = k
+        return self
+
+    def _call(self, inputs):
+        data, indexed = inputs if isinstance(inputs, list) else (inputs, None)
+        assert indexed is not None, "requires [questions, indexed_passages] inputs"
+        index: BM25Index = indexed["index"]
+        pids = indexed["passage_ids"]
+        contents = index.doc_tokens
+        available = {}
+
+        def annotate(example):
+            text = example.get("question") or example.get(
+                "caption_reference_description") or ""
+            hits = index.search(text, self.k)
+            for i in hits:
+                available[pids[i]] = 1
+            answers = [a.lower() for a in example.get("answers", [])]
+            if answers:
+                pos = [pids[i] for i in hits
+                       if any(a in " ".join(contents[i]) for a in answers)]
+            else:
+                pos = [pids[i] for i in hits[:1]]
+            example["pos_item_ids"] = pos or ([pids[hits[0]]] if hits else [])
+            return example
+
+        for split in [s for s in data.keys()
+                      if s not in ("passages", "images")
+                      and not s.endswith("_passages")
+                      and hasattr(data[s], "map")]:
+            data[split] = data[split].map(annotate, load_from_cache_file=False)
+        for key in indexed["passages"].keys():
+            if key.endswith("_passages") or key == "passages":
+                data[key] = indexed["passages"][key]
+        data["available_documents"] = available
+        return data
+
+
+@register_transform_functor
+class ReduceWITPassagesSize(HFDatasetTransform):
+    """Filter the corpus to ``available_documents`` while keeping the full
+    table aside (reference `:1184-1271`)."""
+
+    def setup(self, **kwargs):
+        return self
+
+    def _call(self, data):
+        available = data.get("available_documents") or {}
+        for key in [k for k in data.keys()
+                    if k == "passages" or k.endswith("_passages")]:
+            if key == "full_passages":
+                continue
+            full = data[key]
+            data["full_passages"] = full
+            data[key] = full.filter(
+                lambda x: available.get(x["passage_id"]) is not None,
+                load_from_cache_file=False,
+            )
+            logger.info("reducing #docs (%s) %d → %d", key, len(full),
+                        len(data[key]))
+        return data
+
+
+@register_transform_functor
+class ReduceWITImagesSize(HFDatasetTransform):
+    """Shrink the image registry to images referenced by the (reduced)
+    passage table; emit ``imgId2path`` (reference `:1273-1312`)."""
+
+    def setup(self, **kwargs):
+        return self
+
+    def _call(self, data):
+        key = "passages" if "passages" in data else next(
+            k for k in data.keys() if k.endswith("_passages"))
+        table = data[key]
+        images = data.get("images") or {}
+        col = "image_id" if "image_id" in table.column_names else None
+        available = {k: 1 for k in table[col]} if col else {}
+        new_images, img_id2path = {}, {}
+        for k, v in images.items():
+            if available.get(v["img_id"]) is not None:
+                new_images[k] = v
+                img_id2path[v["img_id"]] = v["img_path"]
+        logger.info("reducing #images %d → %d", len(images), len(new_images))
+        return {"images": new_images, "imgId2path": img_id2path}
+
+
+@register_transform_functor
+class ConcatenateImageCorpus(HFDatasetTransform):
+    """Merge image registries (and precomputed image-embedding datasets) from
+    several corpus pipelines (reference `:1314-1354`)."""
+
+    def setup(self, **kwargs):
+        return self
+
+    def _call(self, inputs):
+        import datasets
+
+        inputs = inputs if isinstance(inputs, list) else [inputs]
+        full_images = {}
+        embedding_tables = []
+        for part in inputs:
+            if "images" in part:
+                full_images.update(part["images"])
+            if "image_dataset_with_embeddings" in part:
+                embedding_tables.append(part["image_dataset_with_embeddings"])
+        out = {"images": full_images}
+        if embedding_tables:
+            out["image_dataset_with_embeddings"] = (
+                datasets.concatenate_datasets(embedding_tables)
+                if len(embedding_tables) > 1 else embedding_tables[0]
+            )
+        return out
+
+
+@register_transform_functor
 class SplitWITPassagesForLargeScaleTraining(HFDatasetTransform):
     """Split the full passage corpus for large-scale training (reference
     `:1356-1408`): training keeps the FULL corpus; the validation/test corpus

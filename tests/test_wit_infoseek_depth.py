@@ -158,3 +158,168 @@ def test_distillation_live_teacher_scores():
     assert len(row["neg_item_ids"]) == 2
     assert len(row["scores"]) == 3  # 1 pos + 2 negs
     assert all(np.isfinite(s) for s in row["scores"])
+
+# ---------------------------------------------------------------- new depth
+
+
+def test_feature_store_roundtrip(tmp_path):
+    from reranking_multimodal_retrievers_tpu.data.feature_store import FeatureStore
+
+    store = FeatureStore(str(tmp_path), index_name="t")
+    store.put("img_1", np.arange(4, dtype=np.float32))
+    store.put("img/we?ird", {"caption": "a cat"})
+    assert "img_1" in store and "img/we?ird" in store
+    np.testing.assert_array_equal(store.get("img_1"),
+                                  np.arange(4, dtype=np.float32))
+    assert store.get("img/we?ird") == {"caption": "a cat"}
+    assert store.get("missing") is None
+    assert len(store) == 2
+
+
+def test_load_wit_passages_renders_content():
+    from reranking_multimodal_retrievers_tpu.data.ops.wit_ops import LoadWITPassages
+
+    rows = {
+        "page_title": ["Cats", "Dogs"],
+        "section_title": ["Breeds", None],
+        "hierarchical_section_title": [None, None],
+        "caption_reference_description": ["a cat photo", None],
+        "caption_attribution_description": [None, None],
+        "caption_alt_text_description": [None, None],
+        "context_page_description": ["All about cats.", "All about dogs."],
+    }
+    ds = datasets.DatasetDict({
+        "train": datasets.Dataset.from_dict(rows),
+        "valid": datasets.Dataset.from_dict({k: v[:1] for k, v in rows.items()}),
+    })
+    out = _functor(LoadWITPassages)(ds)
+    assert out["passages"]["passage_id"] == ["WIT_0", "WIT_1", "WIT_2"]
+    first = out["passages"]["passage_content"][0]
+    # field order: title, section title, caption reference, content
+    assert first.index("title: Cats") < first.index("section title: Breeds")
+    assert first.index("caption reference description: a cat photo") < \
+        first.index("content: All about cats.")
+    assert "section title" not in out["passages"]["passage_content"][1]
+
+
+def test_wit_annotations_reduce_and_image_registry(tmp_path):
+    from reranking_multimodal_retrievers_tpu.data.ops.wit_ops import (
+        IndexWITPassagesWithElasticSearch,
+        PrepareWITPassageAnnotations,
+        ReduceWITPassagesSize,
+        ReduceWITImagesSize,
+        ConcatenateImageCorpus,
+        PrepareImagesForWITData,
+    )
+
+    passages = datasets.Dataset.from_dict({
+        "passage_id": ["WIT_0", "WIT_1", "WIT_2"],
+        "passage_content": ["the red fox", "a blue whale", "green trees"],
+        "image_id": ["imgA", "imgB", "imgC"],
+    })
+    questions = datasets.Dataset.from_dict({
+        "question": ["what color is the fox"],
+        "answers": [["red"]],
+        "image_id": ["imgA"],
+        "img_path": ["/nonexistent.jpg"],
+    })
+    data = datasets.DatasetDict({"train": questions, "passages": passages})
+
+    indexed = _functor(IndexWITPassagesWithElasticSearch)(
+        datasets.DatasetDict({"train_passages": passages}))
+    annotated = _functor(PrepareWITPassageAnnotations, k=2)([data, indexed])
+    assert annotated["train"]["pos_item_ids"][0] == ["WIT_0"]  # contains "red"
+    assert "WIT_0" in annotated["available_documents"]
+
+    reduced = _functor(ReduceWITPassagesSize)(annotated)
+    kept = set(reduced["train_passages"]["passage_id"])
+    assert "WIT_0" in kept and len(kept) < 3
+    assert len(reduced["full_passages"]) == 3
+
+    # image registry from rows, unvalidated (no files on disk)
+    with_images = _functor(PrepareImagesForWITData, validate=False)(reduced)
+    assert "imgA" in with_images["images"]
+
+    shrunk = _functor(ReduceWITImagesSize)(with_images)
+    assert set(shrunk["images"].keys()) <= {"imgA", "imgB", "imgC"}
+    assert "imgId2path" in shrunk
+
+    merged = _functor(ConcatenateImageCorpus)([
+        {"images": {"x": {"img_id": "x", "img_path": "/x.jpg"}}},
+        {"images": {"y": {"img_id": "y", "img_path": "/y.jpg"}}},
+    ])
+    assert set(merged["images"].keys()) == {"x", "y"}
+
+
+def test_vit_v2_cache_and_v3_corpus(tmp_path):
+    from reranking_multimodal_retrievers_tpu.data.ops.feature_ops import (
+        ExtractImageFeaturesWithViTv2, ExtractImageFeaturesWithViTv3,
+    )
+
+    rows = datasets.DatasetDict({
+        "train": datasets.Dataset.from_dict({
+            "image_id": ["a", "b"],
+            "img_path": ["", ""],  # missing files → blank images
+        }),
+    })
+    f = _functor(ExtractImageFeaturesWithViTv2,
+                 cache_folder=str(tmp_path), batch_size=2)
+    out = f(rows)
+    feats1 = np.asarray(out["train"]["image_features"])
+    assert feats1.shape[0] == 2
+    # second pass must restore from the store, not recompute: poison the
+    # stored value and verify it is what comes back
+    f.store.put("a", np.zeros_like(feats1[0]))
+    out2 = f(rows)
+    np.testing.assert_allclose(np.asarray(out2["train"]["image_features"][0]), 0)
+
+    f3 = _functor(ExtractImageFeaturesWithViTv3,
+                  cache_folder=str(tmp_path / "v3"), batch_size=2)
+    out3 = f3(rows)
+    table = out3["image_dataset_with_embeddings"]
+    assert sorted(table["image_id"]) == ["a", "b"]
+    assert len(table["image_features"][0]) > 0
+
+
+def test_vae_features():
+    from reranking_multimodal_retrievers_tpu.data.ops.feature_ops import (
+        ExtractImageFeaturesWithVAE,
+    )
+
+    rows = datasets.DatasetDict({
+        "train": datasets.Dataset.from_dict({"img_path": ["", ""]}),
+    })
+    out = _functor(ExtractImageFeaturesWithVAE, latent_dim=8,
+                   image_size=32, batch_size=2)(rows)
+    feats = np.asarray(out["train"]["vae_features"])
+    assert feats.shape == (2, 8)
+    assert np.isfinite(feats).all()
+
+
+def test_caption_v2_publishes_and_v3_resumes(tmp_path):
+    from reranking_multimodal_retrievers_tpu.data.ops.infoseek_ops import (
+        CaptionImageWithBLIP2v2, CaptionImageWithBLIP2v3,
+    )
+
+    rows = datasets.DatasetDict({
+        "train": datasets.Dataset.from_dict({
+            "image_id": ["a", "b"],
+            "img_path": ["", ""],
+        }),
+    })
+    # dummy mode → deterministic placeholder captions, published to the store
+    f2 = CaptionImageWithBLIP2v2(use_dummy_data=True,
+                                 global_config=ConfigDict({}))
+    f2.setup(caption_store_dir=str(tmp_path))
+    out = f2(rows)
+    assert f2.store.get("a") == out["train"]["caption"][0]
+
+    # v3: a pre-seeded caption must survive (not be re-generated)
+    f3 = CaptionImageWithBLIP2v3(use_dummy_data=True,
+                                 global_config=ConfigDict({}))
+    f3.setup(caption_store_dir=str(tmp_path / "v3"))
+    f3.store.put("a", "hand-written caption")
+    out3 = f3(rows)
+    caps = dict(zip(out3["train"]["image_id"], out3["train"]["caption"]))
+    assert caps["a"] == "hand-written caption"
+    assert caps["b"]  # generated for the missing one
