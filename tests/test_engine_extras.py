@@ -168,3 +168,34 @@ def test_legacy_multiple_mapping_and_mae_and_rag():
     # the vision features must influence the pooled output
     pooled2 = VisualDPRForRAG(rag_cfg).apply(variables, qi, qm, feats * 2.0)
     assert not np.allclose(np.asarray(pooled), np.asarray(pooled2))
+
+def test_queries_collection_ranking_roundtrip(tmp_path):
+    from reranking_multimodal_retrievers_tpu.engine import (
+        Queries, Collection, Ranking,
+    )
+
+    q = Queries(data={1: "what color is the fox", 2: "how tall is everest"})
+    q.save(str(tmp_path / "queries.tsv"))
+    q2 = Queries.cast(str(tmp_path / "queries.tsv"))
+    assert dict(q2) == dict(q)
+
+    c = Collection(data=["the red fox", "mount everest is 8849m"])
+    c.save(str(tmp_path / "collection.tsv"))
+    c2 = Collection.cast(str(tmp_path / "collection.tsv"))
+    assert list(c2) == list(c)
+    assert list(c2.enumerate_batches(1))[1] == (1, ["mount everest is 8849m"])
+
+    r = Ranking(data=[(1, "P0", 0, 9.5), (1, "P7", 1, 8.0), (2, "P3", 0, 7.7)])
+    r.save(str(tmp_path / "ranking.tsv"))
+    r2 = Ranking.cast(str(tmp_path / "ranking.tsv"))
+    assert r2.tolist() == r.tolist()
+    grouped = r2.todict()
+    assert [pid for pid, *_ in grouped[1]] == ["P0", "P7"]
+
+    # static-retrieval json shape (RerankerExecutor.init_retrieve contract)
+    r.save(str(tmp_path / "static.json"))
+    r3 = Ranking.cast(str(tmp_path / "static.json"))
+    assert {qid for qid, *_ in r3.tolist()} == {1, 2}
+    static = r.to_static_retrieval(id2content={"P0": "the red fox"})
+    assert static["1"][0]["passage_id"] == "P0"
+    assert static["1"][0]["content"] == "the red fox"
