@@ -184,9 +184,7 @@ def bench_interaction():
     bert_kw = dict(
         attention_scores_bf16=os.environ.get("BENCH_SCORES_BF16", "1") == "1",
         gelu_approximate=os.environ.get("BENCH_GELU_TANH", "1") == "1",
-        # the layout-native Pallas attention kernel is VMEM-tiled for L=512;
-        # this family's joint length is 640 → XLA's fused softmax path
-        use_pallas_attention=False,
+        use_pallas_attention=os.environ.get("BENCH_PALLAS_ATTN", "1") == "1",
     )
     cfg = InteractionRerankConfig(
         cross_encoder=BertConfig(num_hidden_layers=3,
@@ -277,32 +275,45 @@ def bench_blip2_decoder():
     ids = jnp.asarray(rng.integers(10, 30000, size=(K, L)), jnp.int32)
     am = jnp.ones((K, L), jnp.int32)
 
-    @partial(jax.jit, static_argnames="iters")
-    def chain(iters):
-        prefix = model.apply({"params": params}, pix,
-                             method=Blip2DecoderRerankModel.encode_vision)
+    # two programs only: the vision+Q-Former prefix (once per image) and one
+    # full 100-candidate rerank (scan over CHUNK-row slices of the XL text
+    # stack). Iterations loop on the host — the ~27 ms tunnel round-trip is
+    # <2% of one 100-candidate XL rerank, so no slope chain is needed; a
+    # carry fed back in keeps iterations data-dependent.
+    @jax.jit
+    def prefix_fn(params, pix):
+        return model.apply({"params": params}, pix,
+                           method=Blip2DecoderRerankModel.encode_vision)
+
+    @jax.jit
+    def rerank100(params, prefix, carry):
         prefix_c = jnp.tile(prefix, (CHUNK, 1, 1))
 
-        def body(carry, _):
-            def per_chunk(c, xs):
-                ci, cam = xs
-                out = model.apply({"params": params}, ci + c, cam, None,
-                                  num_negative_examples=CHUNK - 1,
-                                  vision_feats=prefix_c)
-                return c, out.logits.reshape(CHUNK)
+        def per_chunk(c, xs):
+            ci, cam = xs
+            out = model.apply({"params": params}, ci + c, cam, None,
+                              num_negative_examples=CHUNK - 1,
+                              vision_feats=prefix_c)
+            return c, out.logits.reshape(CHUNK)
 
-            _, logits = jax.lax.scan(
-                per_chunk, carry,
-                (ids.reshape(-1, CHUNK, L), am.reshape(-1, CHUNK, L)),
-            )
-            carry = carry + (logits.sum() * 1e-12).astype(jnp.int32)
-            return carry, logits[0, 0]
+        _, logits = jax.lax.scan(
+            per_chunk, carry,
+            (ids.reshape(-1, CHUNK, L), am.reshape(-1, CHUNK, L)),
+        )
+        return (logits.sum() * 1e-12).astype(jnp.int32)
 
-        _, ls = jax.lax.scan(body, jnp.zeros((), jnp.int32), None, length=iters)
-        return ls[-1]
-
-    dt = _slope_timed(chain)
-    return K / dt
+    prefix = prefix_fn(params, pix)
+    carry = rerank100(params, prefix, jnp.zeros((), jnp.int32))  # compile
+    int(carry)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        c = carry
+        for _ in range(2):
+            c = rerank100(params, prefix, c)
+        int(c)  # device→host sync (block_until_ready lies on the tunnel)
+        best = min(best, (time.perf_counter() - t0) / 2)
+    return K / best
 
 
 def bench_maxsim_kernel():
@@ -323,41 +334,8 @@ def main():
 
     t_start = time.perf_counter()
     cand_per_sec = bench_rerank()
-    # Secondary per-family lines (stderr — the driver's headline stays the
-    # monoPreFLMR-B metric). Each is optional and individually fused.
-    if os.environ.get("BENCH_SECONDARY", "1") == "1":
-        for name, fn, a100 in (
-            ("ModPreFLMR_BERT_interaction_rerank_candidates_per_sec",
-             bench_interaction, 100 / 0.24),
-            ("monoBLIP2_FlanT5XL_rerank_candidates_per_sec",
-             bench_blip2_decoder, 100 / 9.52),
-        ):
-            if time.perf_counter() - t_start > 900:
-                print(f"{name} skipped: bench time budget", file=sys.stderr)
-                continue
-            try:
-                val = fn()
-                print(json.dumps({
-                    "metric": name, "value": round(val, 1),
-                    "unit": "candidates/s/chip (full model scale, bf16)",
-                    "vs_baseline": round(val / a100, 2),
-                }), file=sys.stderr)
-            except Exception as e:
-                print(f"{name} skipped: {e}", file=sys.stderr)
-    try:
-        tflops = bench_maxsim_kernel()
-        print(
-            json.dumps(
-                {
-                    "metric": "pallas_maxsim_tflops",
-                    "value": round(tflops, 1),
-                    "unit": "TFLOPS (fused MaxSim kernel, bf16, single v5e chip)",
-                }
-            ),
-            file=sys.stderr,
-        )
-    except Exception as e:  # secondary metric must never sink the headline
-        print(f"pallas maxsim bench skipped: {e}", file=sys.stderr)
+    # the headline line prints FIRST (stdout) so a driver timeout during the
+    # optional secondary benches can never lose it
     print(
         json.dumps(
             {
@@ -366,8 +344,33 @@ def main():
                 "unit": "candidates/s/chip (full-size monoPreFLMR-B cross-encoder, 100-doc rerank, bf16)",
                 "vs_baseline": round(cand_per_sec / A100_BASELINE_CAND_PER_SEC, 2),
             }
-        )
+        ),
+        flush=True,
     )
+    # Secondary per-family lines (stderr — the driver's headline stays the
+    # monoPreFLMR-B metric). Each is optional and individually fused.
+    if os.environ.get("BENCH_SECONDARY", "1") == "1":
+        for name, fn, a100, budget_s in (
+            ("pallas_maxsim_tflops", bench_maxsim_kernel, None, 600),
+            ("ModPreFLMR_BERT_interaction_rerank_candidates_per_sec",
+             bench_interaction, 100 / 0.24, 600),
+            ("monoBLIP2_FlanT5XL_rerank_candidates_per_sec",
+             bench_blip2_decoder, 100 / 9.52, 700),
+        ):
+            if time.perf_counter() - t_start > budget_s:
+                print(f"{name} skipped: bench time budget", file=sys.stderr)
+                continue
+            try:
+                val = fn()
+                line = {"metric": name, "value": round(val, 1)}
+                if a100 is None:
+                    line["unit"] = "TFLOPS (fused MaxSim kernel, bf16, single v5e chip)"
+                else:
+                    line["unit"] = "candidates/s/chip (full model scale, bf16)"
+                    line["vs_baseline"] = round(val / a100, 2)
+                print(json.dumps(line), file=sys.stderr, flush=True)
+            except Exception as e:  # secondary must never sink the headline
+                print(f"{name} skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

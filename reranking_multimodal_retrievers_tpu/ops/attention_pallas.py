@@ -80,6 +80,11 @@ def fused_self_attention(q, k, v, mask_bias=None, *, num_heads: int,
     # lane-dim blocks must be ≥128: pack ceil(128/hd) heads per step
     hpb = max(1, -(-128 // hd))
     assert num_heads % hpb == 0 and (hpb * hd) % 128 == 0, (num_heads, hd)
+    # the per-step VMEM stack is dominated by the [bb, L, L] fp32 score block
+    # (plus its exp); scale the batch tile down quadratically from the tuned
+    # (bb=5, L=512) point so longer sequences stay under the 16 MB scoped
+    # limit instead of failing to compile
+    block_b = max(1, min(block_b, int(block_b * (512 / L) ** 2)))
     bb = next(b for b in range(min(block_b, B), 0, -1) if B % b == 0)
     grid = (B // bb, num_heads // hpb)
 

@@ -167,3 +167,29 @@ class TestFusedSelfAttention:
         )
         valid = np.asarray(am).astype(bool)
         np.testing.assert_allclose(got[valid], ref[valid], atol=2e-5, rtol=1e-4)
+
+    def test_long_sequence_adaptive_tile(self):
+        """L > 512 engages the quadratic batch-tile downscale (the [bb, L, L]
+        fp32 score block must stay under the 16 MB VMEM stack on hardware —
+        regression for the L=640 interaction-reranker shape). Verified on a
+        real v5e: compiles at [100, 640, 768] and matches the oracle to bf16
+        round-off; here the same code path runs in interpret mode at a small
+        width."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from reranking_multimodal_retrievers_tpu.ops.attention_pallas import (
+            fused_self_attention, fused_self_attention_reference,
+        )
+
+        rng = np.random.default_rng(2)
+        B, L, NH, HD = 4, 640, 2, 64
+        mk = lambda: jnp.asarray(rng.normal(size=(B, L, NH * HD)), jnp.float32)
+        q, k, v = mk(), mk(), mk()
+        bias = jnp.zeros((B, L), jnp.float32).at[:, 600:].set(-1e9)
+        got = fused_self_attention(q, k, v, bias, num_heads=NH,
+                                   sm_scale=HD ** -0.5, interpret=True)
+        ref = fused_self_attention_reference(q, k, v, bias, num_heads=NH,
+                                             sm_scale=HD ** -0.5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
