@@ -271,6 +271,41 @@ class RagExecutor(RerankerExecutor):
         return {"loss": float(np.asarray(loss))}
 
     # -------------------------------------------------------------- eval
+    def doc_losses(self, input_ids, attention_mask, pixel_values,
+                   answer_tokens) -> np.ndarray:
+        """Per-doc teacher-forced NLL of ``answer_tokens`` — the reference's
+        ``loss_with_doc_scores`` (`RAG_BLIP_executor.py:560-612`): each
+        retrieved doc's prompt scores the *same* generated answer, and lower
+        loss ranks the doc's generation higher in ``compute_exact_match`` /
+        the retriever-hit analysis."""
+        import jax
+        import jax.numpy as jnp
+
+        if getattr(self, "_doc_loss_fn", None) is None:
+
+            @jax.jit
+            def _loss(params, ids, mask, pix, labels, label_mask):
+                enc_states, enc_mask = self._encode(params, ids, mask, pix)
+                start = jnp.full((labels.shape[0], 1),
+                                 self.decoder_start_token_id, jnp.int32)
+                dec_in = jnp.concatenate([start, labels[:, :-1]], axis=1)
+                logits = self._decode_logits(params, dec_in, enc_states, enc_mask)
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                tok_ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+                denom = jnp.maximum(label_mask.sum(-1), 1.0)
+                return -(tok_ll * label_mask).sum(-1) / denom
+
+            self._doc_loss_fn = _loss
+        labels = jnp.asarray(answer_tokens, jnp.int32)
+        pad_id = getattr(
+            getattr(self.tokenizers.get("decoder_tokenizer"), "tok", None),
+            "pad_token_id", 0) or 0
+        label_mask = (labels != pad_id).astype(jnp.float32)
+        return np.asarray(self._doc_loss_fn(
+            self.params, input_ids, attention_mask, pixel_values,
+            labels, label_mask,
+        ))
+
     def evaluate(self, mode: str = "test") -> ConfigDict:
         import jax.numpy as jnp
 
@@ -303,26 +338,39 @@ class RagExecutor(RerankerExecutor):
                                       len(prompts), axis=0),
                             jnp.float32,
                         )
-                    out_tokens = self.generate(
-                        jnp.asarray(enc["input_ids"], jnp.int32),
-                        jnp.asarray(enc["attention_mask"], jnp.int32),
-                        pix,
-                    )
+                    ids = jnp.asarray(enc["input_ids"], jnp.int32)
+                    am = jnp.asarray(enc["attention_mask"], jnp.int32)
+                    out_tokens = self.generate(ids, am, pix)
                     answers = [tok.decode(t, skip_special_tokens=True)
                                for t in out_tokens]
-                    # final prediction = the generation for the best-scoring
-                    # doc (the reference's `generation_outputs.outputs` pick)
-                    best = int(np.argmax(doc_scores)) if doc_scores else 0
+                    # per-doc generation loss (reference ranks proposals by
+                    # ascending loss, `RAG_BLIP_executor.py:560-612`); the
+                    # final prediction is the lowest-loss doc's generation
+                    losses = self.doc_losses(ids, am, pix, out_tokens)
+                    best = int(np.argmin(losses)) if len(losses) else 0
                     results.append({
                         "question_id": qid,
                         "prediction": answers[best] if answers else "",
                         "per_doc_predictions": answers,
-                        "loss_with_doc_scores": doc_scores,
+                        "loss_with_doc_scores": [float(x) for x in losses],
+                        "doc_scores": doc_scores,
+                        "retrieved_docs": docs,
                         "answers": batch.get("answers", [[]])[qi],
                     })
         data_dict = {
             "predictions": [r["prediction"] for r in results],
             "answers": [r["answers"] for r in results],
+            "batch_answers": [r["answers"] for r in results],
+            "batch_question_ids": [r["question_id"] for r in results],
+            "batch_retrieved_docs": [r["retrieved_docs"] for r in results],
+            "batch_generation_outputs_for_docs":
+                [r["per_doc_predictions"] for r in results],
+            "batch_loss_with_doc_scores":
+                [r["loss_with_doc_scores"] for r in results],
+            "batch_predictions": [
+                {"question_id": r["question_id"], "answer": r["prediction"]}
+                for r in results
+            ],
             "batch_retrieval_result": results,
             "Ks": self.Ks,
         }

@@ -18,7 +18,7 @@ from typing import Dict, List
 import numpy as np
 
 from ..utils.config_system import ConfigDict
-from .vqa_accuracy import okvqa_scores
+from .vqa_accuracy import TextCleaner, okvqa_scores
 
 
 def _pseudo_relevance_counts(passages, answers, gold_answer, K):
@@ -57,17 +57,74 @@ class MetricsProcessor:
         return log_dict
 
     def compute_exact_match(self, module, data_dict, log_dict):
-        preds = data_dict["predictions"]
-        answer_lists = data_dict["answers"]
-        em = float(
-            np.mean(
-                [
-                    any(p.strip().lower() == a.strip().lower() for a in answers)
-                    for p, answers in zip(preds, answer_lists)
-                ]
+        """Beam-ranked exact match over per-doc generations (reference
+        `:90-142`): rank each query's per-doc answer proposals by their doc
+        loss (ascending — lower loss ⇒ higher confidence), dedupe, and report
+        ``exact_match_at_{1..5}`` = whether any of the top-i cleaned proposals
+        is in the cleaned gold answer list. Falls back to plain top-1 EM when
+        no per-doc generations are available."""
+        if "batch_generation_outputs_for_docs" not in data_dict:
+            preds = data_dict["predictions"]
+            answer_lists = data_dict["answers"]
+            em = float(
+                np.mean(
+                    [
+                        any(p.strip().lower() == a.strip().lower() for a in answers)
+                        for p, answers in zip(preds, answer_lists)
+                    ]
+                )
             )
-        )
-        log_dict.metrics["exact_match"] = em
+            log_dict.metrics["exact_match"] = em
+            return log_dict
+
+        cleaner = TextCleaner()
+        n_beams = 5
+        em_at = {f"exact_match_at_{b + 1}": [] for b in range(n_beams)}
+        for answer_list, proposals, doc_losses in zip(
+            data_dict["batch_answers"],
+            data_dict["batch_generation_outputs_for_docs"],
+            data_dict["batch_loss_with_doc_scores"],
+        ):
+            answer_list = cleaner.clean_texts(answer_list)
+            proposals = cleaner.clean_texts(proposals)
+            ranked = []
+            for idx in np.argsort(doc_losses):
+                if proposals[idx] not in ranked:
+                    ranked.append(proposals[idx])
+            # the reference's running flag: once a hit is seen at beam i,
+            # every deeper beam also counts as a hit
+            hit = 0
+            for i in range(n_beams):
+                if i < len(ranked) and ranked[i] in answer_list:
+                    hit = 1
+                em_at[f"exact_match_at_{i + 1}"].append(hit)
+        for name, vals in em_at.items():
+            log_dict.metrics[name] = float(np.mean(np.array(vals)))
+        return log_dict
+
+    def compute_exact_match_with_numeric_values(self, module, data_dict, log_dict):
+        """Infoseek exact match (reference `:143-197`): a prediction is
+        correct if its cleaned text is in the cleaned answer list OR parses
+        as a float inside the per-question ``numeric_range`` [lo, hi]."""
+        cleaner = TextCleaner()
+        correct_flags = []
+        for answer_list, prediction, numeric_range in zip(
+            data_dict["batch_answers"],
+            data_dict["batch_predictions"],
+            data_dict["batch_numeric_ranges"],
+        ):
+            proposal = prediction["answer"] if isinstance(prediction, dict) else prediction
+            proposal = cleaner.clean_texts([proposal.lower()])[0]
+            answer_list = cleaner.clean_texts([a.lower() for a in answer_list])
+            correct = proposal in answer_list
+            if not correct and numeric_range is not None:
+                try:
+                    v = float(proposal)
+                    correct = numeric_range[0] <= v <= numeric_range[1]
+                except (TypeError, ValueError):
+                    pass
+            correct_flags.append(1 if correct else 0)
+        log_dict.metrics["accuracy"] = float(np.mean(np.array(correct_flags)))
         return log_dict
 
     def compute_okvqa_scores(self, module, data_dict, log_dict):
@@ -170,11 +227,100 @@ class MetricsProcessor:
         return log_dict
 
     def compute_retrieval_metrics(self, module, data_dict, log_dict):
-        """Answer-containment recall/precision over retrieved docs
-        (reference `:199-405`, core variants)."""
-        batch_result = data_dict["batch_retrieval_result"]
-        Ks = data_dict["Ks"]
-        return self.compute_DPR_scores(module, data_dict, log_dict)
+        """Answer-containment recall/precision over the *retrieved-for-RAG*
+        docs plus the retriever-hit breakdown (reference `:199-405`).
+
+        Inputs (the reference's RAG-executor contract): ``batch_answers``,
+        ``batch_retrieved_docs`` (list of doc dicts with ``content``/
+        ``title``), ``batch_question_ids``, and — for the hit analysis —
+        ``batch_generation_outputs_for_docs`` + ``batch_loss_with_doc_scores``
+        (per-doc generations and losses, ascending loss = more confident).
+        Honors the ``add_null_document`` and ``use_triplet_in_retrieval_metrics``
+        module flags; triplet lookup tables come from
+        ``data_dict['triplet_ref_ids']`` (question_id → list of relevant
+        triplet/passage titles) instead of the reference's FVQA loader attr.
+        Falls back to the DPR pseudo-relevance metrics when the RAG fields
+        are absent (our retriever executors feed that shape)."""
+        if "batch_retrieved_docs" not in data_dict:
+            return self.compute_DPR_scores(module, data_dict, log_dict)
+
+        modules = getattr(getattr(self.config, "model_config", ConfigDict()),
+                          "modules", []) or []
+        batch_answers = data_dict["batch_answers"]
+        batch_docs = data_dict["batch_retrieved_docs"]
+        question_ids = data_dict.get(
+            "batch_question_ids", [None] * len(batch_answers))
+        triplet_ref_ids = data_dict.get("triplet_ref_ids", {})
+
+        log_result = {k: [] for k in
+                      ("recall", "precision", "gold_precision", "gold_recall")}
+        K = 0
+        for qid, answer_list, docs in zip(question_ids, batch_answers, batch_docs):
+            filtered = [a for a in answer_list if a != ""]
+            gold_answer = max(set(filtered), key=filtered.count) if filtered else ""
+            unique_answers = list(set(answer_list))
+            doc_texts = [d["content"] for d in docs]
+            if "add_null_document" in modules:
+                doc_texts = doc_texts[1:]
+            K = len(doc_texts)
+            found, found_gold = [], []
+            if "use_triplet_in_retrieval_metrics" in modules:
+                ref_ids = triplet_ref_ids.get(qid, [])
+                for d in docs:
+                    if d.get("title") in ref_ids:
+                        found.append(d["title"])
+                        found_gold.append(d["title"])
+            else:
+                for text in doc_texts:
+                    low = text.lower()
+                    for answer in unique_answers:
+                        if answer.lower() in low:
+                            found.append(answer)
+                            break
+                    if gold_answer and gold_answer.lower() in low:
+                        found_gold.append(gold_answer)
+            log_result["recall"].append(1 if found else 0)
+            log_result["precision"].append(len(found) / max(K, 1))
+            log_result["gold_recall"].append(1 if found_gold else 0)
+            log_result["gold_precision"].append(len(found_gold) / max(K, 1))
+
+        if "batch_generation_outputs_for_docs" in data_dict:
+            cleaner = TextCleaner()
+            hits = {k: [] for k in (
+                "successful_hit", "successful_no_hit",
+                "failed_hit", "failed_no_hit",
+                "selected_successful_hit", "selected_successful_no_hit",
+                "selected_failed_hit", "selected_failed_no_hit")}
+            for answer_list, docs, proposals, doc_losses in zip(
+                batch_answers, batch_docs,
+                data_dict["batch_generation_outputs_for_docs"],
+                data_dict["batch_loss_with_doc_scores"],
+            ):
+                doc_texts = [d["content"] for d in docs]
+                order = np.argsort(doc_losses)
+                answer_list = cleaner.clean_texts(answer_list)
+                proposals = cleaner.clean_texts(proposals)
+                for idx, doc_text in enumerate(doc_texts):
+                    em = proposals[idx] in answer_list
+                    contain = proposals[idx] in doc_text
+                    hits["successful_hit"].append(int(em and contain))
+                    hits["successful_no_hit"].append(int(em and not contain))
+                    hits["failed_hit"].append(int(not em and contain))
+                    hits["failed_no_hit"].append(int(not em and not contain))
+                picked = proposals[order[0]]
+                picked_doc = doc_texts[order[0]]
+                em = picked in answer_list
+                contain = picked in picked_doc
+                hits["selected_successful_hit"].append(int(em and contain))
+                hits["selected_successful_no_hit"].append(int(em and not contain))
+                hits["selected_failed_hit"].append(int(not em and contain))
+                hits["selected_failed_no_hit"].append(int(not em and not contain))
+            log_result.update(hits)
+
+        for name, vals in log_result.items():
+            log_dict.metrics[name] = float(np.mean(np.array(vals))) if vals else 0.0
+        log_dict.metrics["n_retrieved_docs"] = K
+        return log_dict
 
     # ------------------------------------------------------------- BLEU
     def compute_BLEU_scores(self, module, data_dict, log_dict):

@@ -115,6 +115,16 @@ def normalize_answer(ans: str) -> str:
     return process_digit_article(process_punctuation(_strip_ws(ans)))
 
 
+class TextCleaner:
+    """Reference ``src/utils/text_cleaner.py:12-215``: the same contraction /
+    manual-map / article / punctuation normalization as the official VQA
+    evaluator, exposed as a batch ``clean_texts``. The tables are shared with
+    :func:`normalize_answer` (they are byte-identical in the reference too)."""
+
+    def clean_texts(self, texts: List[str]) -> List[str]:
+        return [normalize_answer(t) for t in texts]
+
+
 def vqa_accuracy(prediction: str, human_answers: List[str]) -> float:
     """Official accuracy for one question: leave-one-out
     ``min(1, matches/3)`` averaged over the human answers. Normalization is

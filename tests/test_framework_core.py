@@ -243,3 +243,108 @@ def test_eval_recorder_multipass_and_column_merge(tmp_path):
     assert rec.get_sample_logs_column("pred") == ["z1", "z2"]
     rec.set_sample_logs_data({"a": [1, 2, 3], "b": [4, 5, 6]})
     assert len(rec) == 3 and rec[2] == {"a": 3, "b": 6}
+
+
+# ------------------------------------------------- RAG-generation metrics
+def _rag_proc(metrics, modules=()):
+    proc = _Proc(metrics)
+    proc.config.model_config = ConfigDict({"modules": list(modules)})
+    return proc
+
+
+def test_compute_exact_match_beam_variant():
+    """Reference `metrics_processors.py:90-142`: proposals ranked by
+    ascending doc loss, deduped, running-hit flag over 5 beams."""
+    proc = _rag_proc([{"name": "compute_exact_match"}])
+    data = {
+        "batch_answers": [["paris", "france"], ["rome"]],
+        # q1: best-loss proposal wrong, 2nd right -> EM@1=0, EM@2..5=1
+        # q2: best-loss proposal right -> EM@1..5=1
+        "batch_generation_outputs_for_docs": [
+            ["paris", "london", "london"],  # dedup -> ranked by loss
+            ["rome", "milan"],
+        ],
+        "batch_loss_with_doc_scores": [[2.0, 1.0, 3.0], [0.5, 0.9]],
+    }
+    out = proc.compute_metrics(data)
+    assert out.metrics["exact_match_at_1"] == 0.5   # only q2 hits at beam 1
+    assert out.metrics["exact_match_at_2"] == 1.0   # q1's 'paris' at beam 2
+    assert out.metrics["exact_match_at_5"] == 1.0
+
+
+def test_compute_exact_match_simple_fallback():
+    proc = _rag_proc([{"name": "compute_exact_match"}])
+    out = proc.compute_metrics(
+        {"predictions": ["Paris", "x"], "answers": [["paris"], ["rome"]]}
+    )
+    assert out.metrics["exact_match"] == 0.5
+
+
+def test_compute_exact_match_with_numeric_values():
+    """Reference `:143-197`: text match OR float within numeric range."""
+    proc = _rag_proc([{"name": "compute_exact_match_with_numeric_values"}])
+    data = {
+        "batch_answers": [["42"], ["paris"], ["7"]],
+        "batch_predictions": [
+            {"answer": "41.5"},   # not in list, inside [40, 43] -> correct
+            {"answer": "Paris"},  # text match after cleaning -> correct
+            {"answer": "9"},      # not in list, outside [6, 8] -> wrong
+        ],
+        "batch_numeric_ranges": [(40.0, 43.0), None, (6.0, 8.0)],
+    }
+    out = proc.compute_metrics(data)
+    assert out.metrics["accuracy"] == pytest.approx(2 / 3)
+
+
+def test_compute_retrieval_metrics_rag_contract():
+    """Reference `:199-405`: containment recall/precision over retrieved
+    docs + retriever-hit breakdown ranked by generation loss."""
+    proc = _rag_proc([{"name": "compute_retrieval_metrics"}])
+    docs1 = _passages(["the capital is paris", "irrelevant"])
+    docs2 = _passages(["nothing here", "nope"])
+    data = {
+        "batch_answers": [["paris"], ["rome"]],
+        "batch_question_ids": ["q1", "q2"],
+        "batch_retrieved_docs": [docs1, docs2],
+        "batch_generation_outputs_for_docs": [
+            ["paris", "london"], ["milan", "milan"]],
+        "batch_loss_with_doc_scores": [[0.1, 2.0], [1.0, 0.5]],
+    }
+    out = proc.compute_metrics(data)
+    m = out.metrics
+    assert m["recall"] == 0.5            # q1 finds 'paris', q2 finds nothing
+    assert m["precision"] == pytest.approx((1 / 2 + 0) / 2)
+    assert m["gold_recall"] == 0.5
+    assert m["n_retrieved_docs"] == 2
+    # hit analysis: q1 doc0 = exact match + contained -> successful_hit;
+    # q1 picked (lowest loss) = doc0 -> selected_successful_hit for q1
+    assert m["successful_hit"] == pytest.approx(1 / 4)
+    assert m["selected_successful_hit"] == 0.5
+    assert m["selected_failed_no_hit"] == 0.5
+
+
+def test_compute_retrieval_metrics_null_document_flag():
+    proc = _rag_proc([{"name": "compute_retrieval_metrics"}],
+                     modules=["add_null_document"])
+    docs = _passages(["NULL", "paris here"])
+    data = {
+        "batch_answers": [["paris"]],
+        "batch_question_ids": ["q"],
+        "batch_retrieved_docs": [docs],
+    }
+    m = proc.compute_metrics(data).metrics
+    assert m["recall"] == 1.0 and m["n_retrieved_docs"] == 1
+
+
+def test_compute_retrieval_metrics_triplet_flag():
+    proc = _rag_proc([{"name": "compute_retrieval_metrics"}],
+                     modules=["use_triplet_in_retrieval_metrics"])
+    docs = [{"content": "x", "title": "t1"}, {"content": "y", "title": "t9"}]
+    data = {
+        "batch_answers": [["whatever"]],
+        "batch_question_ids": ["q"],
+        "batch_retrieved_docs": [docs],
+        "triplet_ref_ids": {"q": ["t1"]},
+    }
+    m = proc.compute_metrics(data).metrics
+    assert m["recall"] == 1.0 and m["precision"] == 0.5
