@@ -246,9 +246,15 @@ def bench_blip2_decoder():
         Blip2DecoderRerankModel, Blip2RerankConfig,
     )
 
-    K, L, CHUNK = 100, 512, 10
+    K, L = 100, 512
+    CHUNK = int(os.environ.get("BENCH_BLIP2_CHUNK", "10"))
     t5_xl = T5Config(d_model=2048, d_kv=64, d_ff=5120, num_layers=24,
-                     num_decoder_layers=24, num_heads=32)
+                     num_decoder_layers=24, num_heads=32,
+                     # fused VMEM-resident attention for the XL encoder —
+                     # the [CHUNK, 32, 544, 544] fp32 score tensors (the HBM
+                     # bottleneck of this family) never materialize
+                     use_pallas_attention=os.environ.get(
+                         "BENCH_PALLAS_ATTN", "1") == "1")
     cfg = Blip2RerankConfig(
         blip2=Blip2Config(
             vision_config=Blip2VisionConfig(),

@@ -9,4 +9,4 @@ __all__ = [
     "search_exhaustive",
     "make_chunked_rerank_fn",
 ]
-from .data import Queries, Collection, Ranking
+from .data import Queries, Collection, Ranking, Examples

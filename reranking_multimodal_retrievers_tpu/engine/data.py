@@ -239,3 +239,61 @@ class Ranking:
         if isinstance(obj, cls):
             return obj
         raise TypeError(f"cannot cast {type(obj)} to Ranking")
+
+
+class Examples:
+    """Training examples — the ColBERT engine's triples container
+    (`third_party/ColBERT/colbert/data/examples.py:10-81`).
+
+    Each example is ``[qid, pos, neg, ...]`` where entries after the qid are
+    either bare pids or ``[pid, score]`` pairs (distillation triples). JSONL
+    round-trip; ``nway`` slices each line to 1 query + nway passages at load
+    time; ``tolist(shard, nshards)`` is the strided split the reference's
+    per-rank reader uses — here it feeds per-host input sharding on the DCN
+    axis (SPMD replaces per-rank processes for everything on-chip)."""
+
+    def __init__(self, path: Optional[str] = None, data: Optional[List] = None,
+                 nway: Optional[int] = None):
+        self.path = path
+        self.nway = nway
+        self.data = data if data is not None else self._load(path)
+
+    def _load(self, path: str) -> List:
+        keep = self.nway + 1 if self.nway else None
+        out = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line)[:keep])
+        return out
+
+    def tolist(self, shard: Optional[int] = None,
+               nshards: Optional[int] = None) -> List:
+        if shard is not None or nshards is not None:
+            assert shard in range(nshards), (shard, nshards)
+            return [self.data[i] for i in range(shard, len(self.data), nshards)]
+        return list(self.data)
+
+    def save(self, new_path: str) -> str:
+        with open(new_path, "w") as f:
+            for ex in self.data:
+                f.write(json.dumps(ex) + "\n")
+        with open(new_path + ".meta", "w") as f:
+            json.dump({"size": len(self.data), "nway": self.nway,
+                       "source": self.path}, f)
+        return new_path
+
+    def __len__(self):
+        return len(self.data)
+
+    @classmethod
+    def cast(cls, obj: Union[str, List, "Examples"],
+             nway: Optional[int] = None) -> "Examples":
+        if isinstance(obj, str):
+            return cls(path=obj, nway=nway)
+        if isinstance(obj, list):
+            return cls(data=obj, nway=nway)
+        if isinstance(obj, cls):
+            return obj
+        raise TypeError(f"cannot cast {type(obj)} to Examples")

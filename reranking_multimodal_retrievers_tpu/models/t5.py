@@ -56,6 +56,12 @@ class T5Config:
     decoder_start_token_id: int = 0
     lora_r: int = 0
     lora_alpha: float = 32.0
+    # serve the encoder's self-attention through the layout-native Pallas
+    # kernel (ops/attention_pallas.py): scores+softmax stay in VMEM and the
+    # relative-position bias streams per head group instead of broadcasting
+    # to [B, heads, L, L] in HBM. Inference knob — falls back to the unfused
+    # path when head geometry can't pack 128 lanes.
+    use_pallas_attention: bool = False
 
     @property
     def inner_dim(self) -> int:
@@ -125,8 +131,19 @@ class T5Attention(nn.Module):
     bidirectional: bool = True
     lora: bool = False  # peft SEQ_2_SEQ_LM targets q/v
 
+    def _can_fuse(self, kv, key_mask) -> bool:
+        """Pallas path: encoder self-attention with head geometry that packs
+        ≥128 lanes per grid step (`ops/attention_pallas.py` constraint)."""
+        cfg = self.config
+        if not (cfg.use_pallas_attention and kv is None and self.bidirectional):
+            return False
+        hd = cfg.d_kv
+        hpb = max(1, -(-128 // hd))
+        return cfg.num_heads % hpb == 0 and (hpb * hd) % 128 == 0
+
     @nn.compact
-    def __call__(self, x, kv=None, mask_bias=None, position_bias=None):
+    def __call__(self, x, kv=None, mask_bias=None, position_bias=None,
+                 key_mask=None):
         cfg = self.config
         kv_in = x if kv is None else kv
         B, Lq, _ = x.shape
@@ -139,13 +156,11 @@ class T5Attention(nn.Module):
                                  use_bias=False, name=name)(inp)
             return nn.Dense(cfg.inner_dim, use_bias=False, name=name)(inp)
 
-        q = proj("q", x, self.lora).reshape(B, Lq, nh, dk)
-        k = proj("k", kv_in, False).reshape(B, Lk, nh, dk)
-        v = proj("v", kv_in, self.lora).reshape(B, Lk, nh, dk)
+        fuse = self._can_fuse(kv, key_mask)
+        q2 = proj("q", x, self.lora)
+        k2 = proj("k", kv_in, False)
+        v2 = proj("v", kv_in, self.lora)
 
-        # no 1/sqrt(dk) scaling — T5 folds it into initialization
-        scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
-                            preferred_element_type=jnp.float32)
         if position_bias is None:
             if self.has_relative_bias:
                 rel = (
@@ -163,8 +178,32 @@ class T5Attention(nn.Module):
                 position_bias = jnp.transpose(table, (2, 0, 1))[None]
             else:
                 position_bias = jnp.zeros((1, nh, Lq, Lk), jnp.float32)
-            if mask_bias is not None:
+            # unfused contract: the padding mask folds into the bias once
+            # (block 0) and rides along to every later block. The fused path
+            # keeps the bias mask-free — the [B, L] key mask streams into the
+            # kernel separately each layer, so the [B, nh, Lq, Lk] broadcast
+            # never exists.
+            if mask_bias is not None and not fuse:
                 position_bias = position_bias + mask_bias
+
+        if fuse:
+            from ..ops.attention_pallas import fused_self_attention
+
+            ctx2 = fused_self_attention(
+                q2, k2, v2, key_mask, position_bias[0],
+                num_heads=nh, sm_scale=1.0,  # T5 folds 1/sqrt(dk) into init
+                # interpret mode keeps the flag usable (if slow) off-TPU
+                interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+            )
+            out = nn.Dense(cfg.d_model, use_bias=False, name="o")(ctx2)
+            return out, position_bias
+
+        q = q2.reshape(B, Lq, nh, dk)
+        k = k2.reshape(B, Lk, nh, dk)
+        v = v2.reshape(B, Lk, nh, dk)
+        # no 1/sqrt(dk) scaling — T5 folds it into initialization
+        scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                            preferred_element_type=jnp.float32)
         scores = scores + position_bias
         probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v,
@@ -202,7 +241,7 @@ class T5Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask_bias=None, position_bias=None,
-                 enc_states=None, enc_mask_bias=None):
+                 enc_states=None, enc_mask_bias=None, key_mask=None):
         cfg = self.config
         eps = cfg.layer_norm_epsilon
         h = T5LayerNorm(eps, name="self_attn_norm")(x)
@@ -210,7 +249,8 @@ class T5Block(nn.Module):
             cfg, has_relative_bias=self.has_relative_bias,
             bidirectional=not self.is_decoder, lora=True,
             name="self_attn",
-        )(h, mask_bias=mask_bias, position_bias=position_bias)
+        )(h, mask_bias=mask_bias, position_bias=position_bias,
+          key_mask=key_mask)
         x = x + attn
         if self.is_decoder and enc_states is not None:
             h = T5LayerNorm(eps, name="cross_attn_norm")(x)
@@ -246,6 +286,11 @@ class T5Stack(nn.Module):
         x = inputs_embeds
         L = x.shape[1]
         mask_bias = _additive(attention_mask) if attention_mask is not None else None
+        key_mask = None
+        if (cfg.use_pallas_attention and not self.is_decoder
+                and attention_mask is not None):
+            # [B, L] additive key mask for the fused kernel
+            key_mask = (1.0 - attention_mask.astype(jnp.float32)) * ATTN_MASK_BIAS
         if self.is_decoder:
             causal = jnp.tril(jnp.ones((L, L), jnp.float32))
             causal_bias = (1.0 - causal)[None, None] * ATTN_MASK_BIAS
@@ -259,7 +304,7 @@ class T5Stack(nn.Module):
                 cfg, is_decoder=self.is_decoder, has_relative_bias=(i == 0),
                 name=f"block_{i}",
             )(x, mask_bias=mask_bias, position_bias=position_bias,
-              enc_states=enc_states, enc_mask_bias=enc_bias)
+              enc_states=enc_states, enc_mask_bias=enc_bias, key_mask=key_mask)
         return T5LayerNorm(cfg.layer_norm_epsilon, name="final_norm")(x)
 
 

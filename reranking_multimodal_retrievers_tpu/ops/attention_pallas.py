@@ -33,8 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale,
-                 heads_per_block, head_dim):
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, head_bias_ref, o_ref, *,
+                 sm_scale, heads_per_block, head_dim):
     # Mosaic requires lane-dim blocks of ≥128, so each grid step carries
     # `heads_per_block` packed heads and slices them here (static lane
     # offsets — register-level, no HBM traffic)
@@ -53,6 +53,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale,
         s = s * sm_scale
         if bias is not None:
             s = s + bias
+        if head_bias_ref is not None:
+            # per-head additive bias (T5 relative-position bias), shared
+            # across the batch tile: [hpb, Lq, Lk] slice for this head group
+            s = s + head_bias_ref[h][None].astype(jnp.float32)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -66,13 +70,17 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale,
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "sm_scale", "block_b", "interpret")
 )
-def fused_self_attention(q, k, v, mask_bias=None, *, num_heads: int,
-                         sm_scale: float, block_b: int = 5,
+def fused_self_attention(q, k, v, mask_bias=None, head_bias=None, *,
+                         num_heads: int, sm_scale: float, block_b: int = 5,
                          interpret: bool = False):
     """Softmax(QKᵀ·scale + bias)·V over heads packed in the last dim.
 
     q/k/v: [B, L, num_heads·head_dim] (the projection outputs, un-reshaped).
     mask_bias: optional [B, L] additive key bias (0 keep / −1e9 drop).
+    head_bias: optional [num_heads, L, L] additive per-head bias shared
+        across the batch (T5 relative-position bias); each grid step streams
+        only its head group's [hpb, L, L] slice into VMEM, so the unfused
+        path's [B, heads, L, L] broadcast never materializes.
     Returns [B, L, num_heads·head_dim]. B must divide by a tile ≤ block_b.
     """
     B, L, HD = q.shape
@@ -92,7 +100,9 @@ def fused_self_attention(q, k, v, mask_bias=None, *, num_heads: int,
     in_specs = [x_spec, x_spec, x_spec]
     args = [q, k, v]
     kw = dict(sm_scale=sm_scale, heads_per_block=hpb, head_dim=hd)
-    if mask_bias is not None:
+    have_mask = mask_bias is not None
+    have_head = head_bias is not None
+    if have_mask:
         # sublane-dim blocks must be 8-divisible — broadcast the [B, L] bias
         # to [B, 8, L] (tiny: fp32 bias is ~1.6 MB at rerank shapes)
         in_specs.append(pl.BlockSpec((bb, 8, L), lambda i, n: (i, 0, 0)))
@@ -101,9 +111,12 @@ def fused_self_attention(q, k, v, mask_bias=None, *, num_heads: int,
                 mask_bias.astype(jnp.float32)[:, None, :], (B, 8, L)
             )
         )
-        kernel = functools.partial(_attn_kernel, **kw)
-    else:
-        kernel = functools.partial(_no_bias_kernel, **kw)
+    if have_head:
+        in_specs.append(pl.BlockSpec((hpb, L, L), lambda i, n: (n, 0, 0)))
+        args.append(head_bias.astype(jnp.float32))
+    kernel = functools.partial(
+        _dispatch_kernel, have_mask=have_mask, have_head=have_head, **kw
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -117,12 +130,16 @@ def fused_self_attention(q, k, v, mask_bias=None, *, num_heads: int,
     )(*args)
 
 
-def _no_bias_kernel(q_ref, k_ref, v_ref, o_ref, **kw):
-    _attn_kernel(q_ref, k_ref, v_ref, None, o_ref, **kw)
+def _dispatch_kernel(q_ref, k_ref, v_ref, *refs, have_mask, have_head, **kw):
+    refs = list(refs)
+    o_ref = refs.pop()
+    bias_ref = refs.pop(0) if have_mask else None
+    head_bias_ref = refs.pop(0) if have_head else None
+    _attn_kernel(q_ref, k_ref, v_ref, bias_ref, head_bias_ref, o_ref, **kw)
 
 
-def fused_self_attention_reference(q, k, v, mask_bias=None, *, num_heads: int,
-                                   sm_scale: float):
+def fused_self_attention_reference(q, k, v, mask_bias=None, head_bias=None, *,
+                                   num_heads: int, sm_scale: float):
     """Unfused oracle for tests (matches the bert.py unfused path)."""
     B, L, HD = q.shape
     hd = HD // num_heads
@@ -133,6 +150,8 @@ def fused_self_attention_reference(q, k, v, mask_bias=None, *, num_heads: int,
                    preferred_element_type=jnp.float32) * sm_scale
     if mask_bias is not None:
         s = s + mask_bias[:, None, None, :].astype(jnp.float32)
+    if head_bias is not None:
+        s = s + head_bias[None].astype(jnp.float32)
     p = jax.nn.softmax(s, axis=-1).astype(vh.dtype)
     o = jnp.einsum("bnqk,bknd->bqnd", p, vh,
                    preferred_element_type=jnp.float32).astype(q.dtype)

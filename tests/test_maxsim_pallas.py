@@ -193,3 +193,59 @@ class TestFusedSelfAttention:
                                              sm_scale=HD ** -0.5)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
+
+
+class TestT5FusedAttention:
+    def test_head_bias_kernel_matches_oracle(self):
+        """The per-head additive bias input (T5 relative-position bias) in
+        every mask combination."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from reranking_multimodal_retrievers_tpu.ops.attention_pallas import (
+            fused_self_attention, fused_self_attention_reference,
+        )
+
+        rng = np.random.default_rng(3)
+        B, L, NH, HD = 4, 128, 4, 64
+        mk = lambda: jnp.asarray(rng.normal(size=(B, L, NH * HD)), jnp.float32)
+        q, k, v = mk(), mk(), mk()
+        mask = jnp.zeros((B, L), jnp.float32).at[:, 100:].set(-1e9)
+        hb = jnp.asarray(rng.normal(size=(NH, L, L)), jnp.float32)
+        for m, h in ((None, hb), (mask, hb)):
+            got = fused_self_attention(q, k, v, m, h, num_heads=NH,
+                                       sm_scale=0.125, interpret=True)
+            ref = fused_self_attention_reference(q, k, v, m, h, num_heads=NH,
+                                                 sm_scale=0.125)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-5, rtol=1e-4)
+
+    def test_t5_encoder_fused_parity(self):
+        """T5 stack with use_pallas_attention on vs off — identical logits
+        (the kernel path must preserve the mask-free position-bias contract
+        and stream the [B, L] key mask separately)."""
+        import dataclasses
+
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from reranking_multimodal_retrievers_tpu.models.t5 import (
+            T5Config, T5ForConditionalGeneration,
+        )
+
+        cfg0 = T5Config(vocab_size=128, d_model=128, d_kv=64, d_ff=256,
+                        num_layers=2, num_decoder_layers=2, num_heads=2)
+        cfg1 = dataclasses.replace(cfg0, use_pallas_attention=True)
+        m0 = T5ForConditionalGeneration(cfg0)
+        m1 = T5ForConditionalGeneration(cfg1)
+        rng = np.random.default_rng(0)
+        B, L = 2, 64
+        ids = jnp.asarray(rng.integers(3, 120, size=(B, L)), jnp.int32)
+        am = jnp.ones((B, L), jnp.int32).at[:, 50:].set(0)
+        dec = jnp.asarray(rng.integers(3, 120, size=(B, 4)), jnp.int32)
+        params = m0.init(jax.random.PRNGKey(0), ids, am, dec)["params"]
+        l0, _ = m0.apply({"params": params}, ids, am, dec)
+        l1, _ = m1.apply({"params": params}, ids, am, dec)
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                                   atol=2e-4, rtol=1e-3)
