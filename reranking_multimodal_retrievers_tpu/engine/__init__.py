@@ -10,3 +10,4 @@ __all__ = [
     "make_chunked_rerank_fn",
 ]
 from .data import Queries, Collection, Ranking, Examples
+from .infra import EngineConfig, Provenance, Run
