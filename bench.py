@@ -22,6 +22,7 @@ both artifacts.
 """
 
 import json
+import os
 import sys
 import time
 from functools import partial
@@ -44,7 +45,6 @@ def bench_rerank():
     )
     from reranking_multimodal_retrievers_tpu.engine import make_chunked_rerank_fn
 
-    import os
 
     # queries per batch, docs per query, joint seq len (workload-defining: K
     # and L are fixed by the baseline; B amortizes fixed costs across queries
@@ -170,7 +170,6 @@ def bench_interaction():
     `src/models/rerank/interaction_rerank_model.py:86-166`). Inputs are the
     precomputed 128-d token embeddings, as at test time where doc embeddings
     come from the index."""
-    import os
 
     import jax
     import jax.numpy as jnp
@@ -336,7 +335,6 @@ def bench_maxsim_kernel():
 
 
 def main():
-    import os
 
     t_start = time.perf_counter()
     cand_per_sec = bench_rerank()

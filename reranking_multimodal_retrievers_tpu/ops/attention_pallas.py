@@ -52,7 +52,18 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, head_bias_ref, o_ref, *,
         )  # [bb, Lq, Lk]
         s = s * sm_scale
         if bias is not None:
-            s = s + bias
+            # Mosaic rejects the [bb, 1, Lk] → [bb, Lq, Lk] sublane
+            # broadcast past 64 sublane tiles (Lq > 512 SIGABRTs on v5e);
+            # chunk the add so each broadcast stays ≤ 512 rows
+            Lq = s.shape[1]
+            if Lq <= 512:
+                s = s + bias
+            else:
+                s = jnp.concatenate(
+                    [s[:, r0 : r0 + 512, :] + bias
+                     for r0 in range(0, Lq, 512)],
+                    axis=1,
+                )
         if head_bias_ref is not None:
             # per-head additive bias (T5 relative-position bias), shared
             # across the batch tile: [hpb, Lq, Lk] slice for this head group
@@ -88,6 +99,28 @@ def fused_self_attention(q, k, v, mask_bias=None, head_bias=None, *,
     # lane-dim blocks must be ≥128: pack ceil(128/hd) heads per step
     hpb = max(1, -(-128 // hd))
     assert num_heads % hpb == 0 and (hpb * hd) % 128 == 0, (num_heads, hd)
+    # Mosaic miscompiles (SIGABRT) the [bb, 1, Lk]→[bb, Lq, Lk] mask
+    # broadcast when L is not a lane multiple (observed at L=544 on v5e;
+    # 512/640 fine) — pad L up to the next multiple of 128 with −1e9-masked
+    # keys and slice the queries back out. XLA fuses the pads/slice; the
+    # extra key columns cost <(pad/L) of the attention FLOPs only.
+    if L % 128 != 0:
+        Lp = -(-L // 128) * 128
+        pad = [(0, 0), (0, Lp - L), (0, 0)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+        if mask_bias is None:
+            mask_bias = jnp.zeros((B, L), q.dtype)
+        mask_bias = jnp.pad(mask_bias, [(0, 0), (0, Lp - L)],
+                            constant_values=NEG_INF)
+        if head_bias is not None:
+            head_bias = jnp.pad(
+                head_bias, [(0, 0), (0, Lp - L), (0, Lp - L)]
+            )
+        out = fused_self_attention(
+            q, k, v, mask_bias, head_bias, num_heads=num_heads,
+            sm_scale=sm_scale, block_b=block_b, interpret=interpret,
+        )
+        return out[:, :L, :]
     # the per-step VMEM stack is dominated by the [bb, L, L] fp32 score block
     # (plus its exp); scale the batch tile down quadratically from the tuned
     # (bb=5, L=512) point so longer sequences stay under the 16 MB scoped

@@ -6,6 +6,11 @@ from .mesh import (
     replicate,
     pad_to_multiple,
 )
+from .tensor_parallel import (
+    partition_spec as tp_partition_spec,
+    shard_tree as tp_shard_tree,
+    describe as tp_describe,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -14,4 +19,7 @@ __all__ = [
     "shard_batch",
     "replicate",
     "pad_to_multiple",
+    "tp_partition_spec",
+    "tp_shard_tree",
+    "tp_describe",
 ]

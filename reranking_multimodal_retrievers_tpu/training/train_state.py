@@ -43,11 +43,17 @@ def make_train_step(
     loss_key: str = "ib_loss",
     num_negative_examples: int = 1,
     use_in_batch_negatives: bool = True,
+    tensor_parallel: bool = False,
 ):
     """Build the jitted train step.
 
     ``apply_fn(params, **batch, ...)`` must return an ``FLMRForwardOutput``.
-    With a mesh: params replicated, batch sharded over DATA_AXIS.
+    With a mesh: params replicated, batch sharded over DATA_AXIS. With
+    ``tensor_parallel`` the state's in/out shardings are *inferred from the
+    arrays* instead of pinned replicated — place the TrainState with
+    ``parallel.tensor_parallel.shard_tree`` first and the weight shards (and
+    their adam moments) stay resident on the model axis across steps, with
+    GSPMD inserting the per-block all-reduces.
 
     Cross-chip in-batch negatives need no explicit collective here: under
     pjit/GSPMD the batch is a *global* array, so the all-pairs score einsum in
@@ -126,6 +132,9 @@ def make_train_step(
         )
         return step_fn(state, batch)
 
+    if tensor_parallel:
+        # state shardings follow the committed input placements (TP layout)
+        return jax.jit(sharded_step, donate_argnums=(0,))
     return jax.jit(
         sharded_step,
         in_shardings=(replicated, None),
