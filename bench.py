@@ -253,7 +253,9 @@ def bench_blip2_decoder():
                      # the [CHUNK, 32, 544, 544] fp32 score tensors (the HBM
                      # bottleneck of this family) never materialize
                      use_pallas_attention=os.environ.get(
-                         "BENCH_PALLAS_ATTN", "1") == "1")
+                         "BENCH_PALLAS_ATTN", "1") == "1",
+                     position_bias_bf16=os.environ.get(
+                         "BENCH_POSBIAS_BF16", "1") == "1")
     cfg = Blip2RerankConfig(
         blip2=Blip2Config(
             vision_config=Blip2VisionConfig(),
@@ -290,22 +292,47 @@ def bench_blip2_decoder():
         return model.apply({"params": params}, pix,
                            method=Blip2DecoderRerankModel.encode_vision)
 
+    from reranking_multimodal_retrievers_tpu.models.blip2 import (
+        Blip2ForConditionalGeneration,
+    )
+
+    blip2 = Blip2ForConditionalGeneration(cfg.blip2)
+
     @jax.jit
     def rerank100(params, prefix, carry):
+        """Scan the XL *encoder* over CHUNK-row slices (the [rows, 544]
+        activations bound HBM), then decode ALL K candidates in one pass —
+        the 24-layer decoder + lm_head weights stream from HBM once per
+        rerank instead of once per chunk."""
+        p = params["model"]
         prefix_c = jnp.tile(prefix, (CHUNK, 1, 1))
 
-        def per_chunk(c, xs):
+        def enc_chunk(c, xs):
             ci, cam = xs
-            out = model.apply({"params": params}, ci + c, cam, None,
-                              num_negative_examples=CHUNK - 1,
-                              vision_feats=prefix_c)
-            return c, out.logits.reshape(CHUNK)
+            enc, mask = blip2.apply(
+                {"params": p}, ci + c, cam,
+                method=Blip2ForConditionalGeneration.encode_for_generation,
+                vision_prefix=prefix_c,
+            )
+            return c, (enc, mask)
 
-        _, logits = jax.lax.scan(
-            per_chunk, carry,
+        _, (encs, masks) = jax.lax.scan(
+            enc_chunk, carry,
             (ids.reshape(-1, CHUNK, L), am.reshape(-1, CHUNK, L)),
         )
-        return (logits.sum() * 1e-12).astype(jnp.int32)
+        Lp = encs.shape[-2]
+        enc_all = encs.reshape(K, Lp, -1)
+        mask_all = masks.reshape(K, Lp)
+        dec_in = jnp.full((K, 1), t5_xl.decoder_start_token_id, jnp.int32)
+        logits = blip2.apply(
+            {"params": p}, dec_in, enc_all, mask_all,
+            method=Blip2ForConditionalGeneration.decode_logits,
+        )
+        first = logits[:, 0, :].astype(jnp.float32)
+        yes = first[:, 4273]
+        no = first[:, 150]
+        p_yes = jax.nn.softmax(jnp.stack([yes, no], axis=-1), axis=-1)[:, 0]
+        return (p_yes.sum() * 1e-12).astype(jnp.int32)
 
     prefix = prefix_fn(params, pix)
     carry = rerank100(params, prefix, jnp.zeros((), jnp.int32))  # compile

@@ -244,18 +244,22 @@ class Blip2ForConditionalGeneration(nn.Module):
         query_out = self.qformer(image_embeds)
         return self.language_projection(query_out)
 
-    def encode_for_generation(self, input_ids, attention_mask, pixel_values=None):
+    def encode_for_generation(self, input_ids, attention_mask,
+                              pixel_values=None, vision_prefix=None):
         """Encoder states + mask with the vision prefix prepended — the
         encode half of HF ``generate`` (caption mining,
-        `infoseek_data_ops.py:673-770`)."""
+        `infoseek_data_ops.py:673-770`). ``vision_prefix`` short-circuits
+        the vision+Q-Former path with precomputed prefix embeddings (the
+        candidate-scoring path computes them once per image)."""
         lm = self.language_model
         text_embeds = lm.shared(input_ids)
-        if pixel_values is not None:
-            prefix = self.vision_prefix(pixel_values)
+        if vision_prefix is None and pixel_values is not None:
+            vision_prefix = self.vision_prefix(pixel_values)
+        if vision_prefix is not None:
             inputs_embeds = jnp.concatenate(
-                [prefix.astype(text_embeds.dtype), text_embeds], axis=1
+                [vision_prefix.astype(text_embeds.dtype), text_embeds], axis=1
             )
-            prefix_mask = jnp.ones(prefix.shape[:2], attention_mask.dtype)
+            prefix_mask = jnp.ones(vision_prefix.shape[:2], attention_mask.dtype)
             attention_mask = jnp.concatenate([prefix_mask, attention_mask], axis=1)
         else:
             inputs_embeds = text_embeds

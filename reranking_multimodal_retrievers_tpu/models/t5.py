@@ -62,6 +62,10 @@ class T5Config:
     # to [B, heads, L, L] in HBM. Inference knob — falls back to the unfused
     # path when head geometry can't pack 128 lanes.
     use_pallas_attention: bool = False
+    # stream the relative-position bias in bf16 on the fused path (halves
+    # its HBM traffic; rank error within bf16 round-off — the QK scores are
+    # bf16 in the serving configuration anyway)
+    position_bias_bf16: bool = False
 
     @property
     def inner_dim(self) -> int:
@@ -189,8 +193,11 @@ class T5Attention(nn.Module):
         if fuse:
             from ..ops.attention_pallas import fused_self_attention
 
+            head_bias = position_bias[0]
+            if cfg.position_bias_bf16:
+                head_bias = head_bias.astype(jnp.bfloat16)
             ctx2 = fused_self_attention(
-                q2, k2, v2, key_mask, position_bias[0],
+                q2, k2, v2, key_mask, head_bias,
                 num_heads=nh, sm_scale=1.0,  # T5 folds 1/sqrt(dk) into init
                 # interpret mode keeps the flag usable (if slow) off-TPU
                 interpret=jax.devices()[0].platform not in ("tpu", "axon"),

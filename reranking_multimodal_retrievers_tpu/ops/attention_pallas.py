@@ -145,8 +145,10 @@ def fused_self_attention(q, k, v, mask_bias=None, head_bias=None, *,
             )
         )
     if have_head:
+        # keep the caller's dtype (bf16 halves the per-layer HBM stream);
+        # the kernel accumulates it into the fp32 scores either way
         in_specs.append(pl.BlockSpec((hpb, L, L), lambda i, n: (n, 0, 0)))
-        args.append(head_bias.astype(jnp.float32))
+        args.append(head_bias)
     kernel = functools.partial(
         _dispatch_kernel, have_mask=have_mask, have_head=have_head, **kw
     )

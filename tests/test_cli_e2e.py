@@ -215,7 +215,10 @@ def test_rag_blip2_train_then_test(tmp_path):
     preds = os.path.join(exp_dir, "test_predictions_rank_0.json")
     with open(preds) as f:
         dump = json.load(f)
-    assert "exact_match" in dump["metrics"]
+    # per-doc generations present → the reference's beam-ranked EM family
+    # (metrics_processors.py:90-142), ranked by real per-doc generation loss
+    assert "exact_match_at_1" in dump["metrics"]
+    assert "exact_match_at_5" in dump["metrics"]
     entry = dump["predictions"][0]
     assert "per_doc_predictions" in entry and "loss_with_doc_scores" in entry
     assert len(entry["per_doc_predictions"]) == len(entry["loss_with_doc_scores"])
