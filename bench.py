@@ -361,6 +361,56 @@ def bench_maxsim_kernel():
     return run_maxsim_benchmark()
 
 
+def bench_retrieval():
+    """Full-corpus exact retrieval throughput (queries/s/chip): top-100 exact
+    MaxSim over an OKVQA-scale HBM-resident token index — the engine that
+    replaces the reference's PLAID stack (IVF + residual codec + 4 native
+    kernels, `colbert/search/index_storage.py:86-184`), which it runs
+    *query-by-query* (`colbert/searcher.py:82-96`). No recorded reference
+    latency exists for that path, so the line reports absolute QPS only.
+
+    Corpus: 100k docs × 256 tokens × dim 128 bf16 (6.55 GB HBM), queries
+    96 tokens (PreFLMR text+vision budget). The index is generated directly
+    on-device (a 6.5 GB host transfer through the tunnel would dominate)."""
+    import jax
+    import jax.numpy as jnp
+
+    from reranking_multimodal_retrievers_tpu.engine.search import make_search_fn
+
+    N = int(os.environ.get("BENCH_RETR_N", 100_000))
+    Ld, Lq, dim, B, k = 256, 96, 128, 32, 100
+
+    @jax.jit
+    def build(key):
+        D = jax.random.normal(key, (N, Ld, dim), jnp.bfloat16)
+        D = D / jnp.linalg.norm(D.astype(jnp.float32), axis=-1,
+                                keepdims=True).astype(jnp.bfloat16)
+        return D
+
+    key = jax.random.PRNGKey(0)
+    D = build(key)
+    M = jnp.ones((N, Ld), bool)
+    Q = jax.random.normal(jax.random.PRNGKey(1), (B, Lq, dim), jnp.bfloat16)
+
+    search = make_search_fn(mesh=None, n_padded_docs=N, k=k)
+
+    @jax.jit
+    def chain(Q, D, M):
+        vals, idx = search(Q, D, M)
+        # data-dependent perturbation so repeated calls can't be CSE'd
+        return vals, Q + (vals.sum() * 1e-12).astype(Q.dtype)
+
+    vals, Qn = chain(Q, D, M)
+    float(vals[0, 0])  # compile + sync
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        v2, Qn = chain(Qn, D, M)
+        float(v2[0, 0])  # device→host sync (tunnel-safe fence)
+        best = min(best, time.perf_counter() - t0)
+    return B / best
+
+
 def main():
 
     t_start = time.perf_counter()
@@ -383,10 +433,12 @@ def main():
     if os.environ.get("BENCH_SECONDARY", "1") == "1":
         for name, fn, a100, budget_s in (
             ("pallas_maxsim_tflops", bench_maxsim_kernel, None, 600),
+            ("exact_retrieval_queries_per_sec_100k_corpus",
+             bench_retrieval, None, 600),
             ("ModPreFLMR_BERT_interaction_rerank_candidates_per_sec",
-             bench_interaction, 100 / 0.24, 600),
+             bench_interaction, 100 / 0.24, 700),
             ("monoBLIP2_FlanT5XL_rerank_candidates_per_sec",
-             bench_blip2_decoder, 100 / 9.52, 700),
+             bench_blip2_decoder, 100 / 9.52, 800),
         ):
             if time.perf_counter() - t_start > budget_s:
                 print(f"{name} skipped: bench time budget", file=sys.stderr)
@@ -394,8 +446,11 @@ def main():
             try:
                 val = fn()
                 line = {"metric": name, "value": round(val, 1)}
-                if a100 is None:
+                if name == "pallas_maxsim_tflops":
                     line["unit"] = "TFLOPS (fused MaxSim kernel, bf16, single v5e chip)"
+                elif name.startswith("exact_retrieval"):
+                    line["unit"] = ("queries/s/chip (exact top-100 MaxSim, "
+                                    "100k docs x 256 tokens, bf16 HBM index)")
                 else:
                     line["unit"] = "candidates/s/chip (full model scale, bf16)"
                     line["vs_baseline"] = round(val / a100, 2)

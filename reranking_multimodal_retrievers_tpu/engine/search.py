@@ -65,21 +65,64 @@ def _local_search(Q, D, M, *, k: int, chunk: int, use_pallas: bool = False):
     if use_pallas and pallas_ok:
         from ..ops.maxsim_pallas import maxsim_scores_pallas
 
-        b_blk = next(b for b in (32, 16, 8) if B % b == 0)
-        scores = maxsim_scores_pallas(Q, D, M, B_blk=b_blk, C_blk=8)
+        # the per-step fp32 score block is [C_blk·L_d, B_blk·L_q]; pick the
+        # largest batch tile that keeps it within the VMEM budget (larger
+        # corpora / longer docs shrink the tile instead of failing to
+        # compile — observed at [100k, 256]×[32, 96] on v5e)
+        budget = 6 * 1024 * 1024
+        c_blk = 8
+        b_blk = next(
+            (b for b in (32, 16, 8)
+             if B % b == 0
+             and (c_blk * D.shape[1]) * (b * Q.shape[1]) * 4 <= budget),
+            None,
+        )
+        L_d = D.shape[1]
+        # one pallas_call handles ≤ 2^23 total doc tokens; bigger corpora
+        # scan the SAME kernel over equal slabs (reshape is free — no copies)
+        max_slab = max(c_blk, ((1 << 23) // L_d) // c_blk * c_blk)
+        if b_blk is None:
+            scores = _xla_chunk_scores(Q, D, M, n_local, chunk)
+        elif n_local <= max_slab:
+            scores = maxsim_scores_pallas(Q, D, M, B_blk=b_blk, C_blk=c_blk)
+        else:
+            slab = next(
+                (s for s in range(max_slab, c_blk - 1, -c_blk)
+                 if n_local % s == 0),
+                None,
+            )
+            if slab is None:
+                scores = _xla_chunk_scores(Q, D, M, n_local, chunk)
+            else:
+                Ds = D.reshape(n_local // slab, slab, L_d, D.shape[2])
+                Ms = M.reshape(n_local // slab, slab, L_d)
+
+                def body(_, dm):
+                    d, m = dm
+                    return None, maxsim_scores_pallas(
+                        Q, d, m, B_blk=b_blk, C_blk=c_blk
+                    )
+
+                _, per_slab = jax.lax.scan(body, None, (Ds, Ms))
+                scores = jnp.moveaxis(per_slab, 0, 1).reshape(B, n_local)
     else:
-        n_chunks = n_local // chunk
-        Dc = D.reshape(n_chunks, chunk, D.shape[1], D.shape[2])
-        Mc = M.reshape(n_chunks, chunk, M.shape[1])
-
-        def body(_, dm):
-            d, m = dm
-            return None, _chunk_scores(Q, d, m)
-
-        _, per_chunk = jax.lax.scan(body, None, (Dc, Mc))  # [n_chunks, B, chunk]
-        scores = jnp.moveaxis(per_chunk, 0, 1).reshape(B, n_local)
+        scores = _xla_chunk_scores(Q, D, M, n_local, chunk)
     vals, idx = jax.lax.top_k(scores, k)
     return vals, idx
+
+
+def _xla_chunk_scores(Q, D, M, n_local, chunk):
+    B = Q.shape[0]
+    n_chunks = n_local // chunk
+    Dc = D.reshape(n_chunks, chunk, D.shape[1], D.shape[2])
+    Mc = M.reshape(n_chunks, chunk, M.shape[1])
+
+    def body(_, dm):
+        d, m = dm
+        return None, _chunk_scores(Q, d, m)
+
+    _, per_chunk = jax.lax.scan(body, None, (Dc, Mc))  # [n_chunks, B, chunk]
+    return jnp.moveaxis(per_chunk, 0, 1).reshape(B, n_local)
 
 
 def default_use_pallas() -> bool:

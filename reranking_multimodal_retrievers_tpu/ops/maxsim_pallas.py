@@ -83,6 +83,14 @@ def maxsim_scores_pallas(
     N, L_d, _ = D.shape
     assert B % B_blk == 0 and N % C_blk == 0, (B, B_blk, N, C_blk)
 
+    # corpora past ~2^23 total doc tokens must be scanned in slabs by the
+    # caller (engine/search._local_search does) — one flattened bias operand
+    # that large breaks the lowering and the whole-corpus program OOMs HBM
+    assert N * L_d <= (1 << 23), (
+        f"maxsim_scores_pallas: {N}×{L_d} doc tokens exceed the single-call "
+        "limit; scan over doc slabs (see engine/search._local_search)"
+    )
+
     bias = jnp.where(mask, 0.0, MASK_FILL_VALUE).astype(jnp.float32)
     bias = bias.reshape(N * L_d, 1)
 
