@@ -51,6 +51,35 @@ def colbert_score_reduce(scores_padded: jax.Array, d_mask: jax.Array):
     return jnp.sum(per_query_token_max, axis=-1), scores_masked
 
 
+def flipr_score_reduce(
+    scores_padded: jax.Array,
+    d_mask: jax.Array,
+    query_maxlen: int,
+    K2: int = 8,
+):
+    """The FLIPR interaction (Baleen) — reference
+    `third_party/ColBERT/colbert/modeling/colbert.py:246-263`: instead of
+    summing every query token's best match, keep the top ``K1 =
+    query_maxlen // 2`` per-token maxima over the first ``query_maxlen``
+    (question) columns plus the top ``K2`` over the remaining (context/fact
+    expansion) columns. Static top-k — XLA-friendly.
+
+    Returns (scores [num_docs], scores_masked) like
+    :func:`colbert_score_reduce`.
+    """
+    if d_mask.ndim == 3:
+        d_mask = d_mask[..., 0]
+    valid = d_mask.astype(bool)[:, :, None]
+    scores_masked = jnp.where(valid, scores_padded, MASK_FILL_VALUE)
+    per_tok = jnp.max(scores_masked, axis=1)  # [num_docs, L_q]
+    K1 = query_maxlen // 2
+    A = jnp.sum(jax.lax.top_k(per_tok[:, :query_maxlen], K1)[0], axis=-1)
+    rest = per_tok.shape[1] - query_maxlen
+    if K2 <= rest:
+        A = A + jnp.sum(jax.lax.top_k(per_tok[:, query_maxlen:], K2)[0], axis=-1)
+    return A, scores_masked
+
+
 def colbert_score(Q: jax.Array, D_padded: jax.Array, d_mask: jax.Array):
     """MaxSim score of query matrices against (aligned) document matrices.
 

@@ -141,3 +141,46 @@ def test_tiled_top_k_exact():
     want_v2, want_i2 = top_k_scores(jnp.asarray(scores[:, :9_999]), 17)
     np.testing.assert_allclose(np.asarray(got_v2), np.asarray(want_v2))
     np.testing.assert_array_equal(np.asarray(got_i2), np.asarray(want_i2))
+
+
+def test_flipr_score_reduce_matches_reference_semantics():
+    """FLIPR interaction (`colbert/modeling/colbert.py:246-263`): top-K1 of
+    the question columns + top-K2 of the expansion columns."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from reranking_multimodal_retrievers_tpu.ops.maxsim import (
+        MASK_FILL_VALUE, flipr_score_reduce,
+    )
+
+    rng = np.random.default_rng(0)
+    num_docs, L_d, qlen, extra = 5, 16, 8, 12
+    L_q = qlen + extra
+    scores = rng.normal(size=(num_docs, L_d, L_q)).astype(np.float32)
+    mask = (rng.random((num_docs, L_d)) > 0.3)
+    mask[:, 0] = True  # at least one valid token per doc
+    got, _ = flipr_score_reduce(jnp.asarray(scores), jnp.asarray(mask),
+                                query_maxlen=qlen, K2=4)
+    # numpy oracle
+    s = scores.copy()
+    s[~mask] = MASK_FILL_VALUE
+    per_tok = s.max(axis=1)
+    K1 = qlen // 2
+    a = np.sort(per_tok[:, :qlen], axis=-1)[:, -K1:].sum(-1)
+    b = np.sort(per_tok[:, qlen:], axis=-1)[:, -4:].sum(-1)
+    np.testing.assert_allclose(np.asarray(got), a + b, rtol=1e-6)
+
+
+def test_flipr_no_expansion_columns():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from reranking_multimodal_retrievers_tpu.ops.maxsim import flipr_score_reduce
+
+    rng = np.random.default_rng(1)
+    scores = jnp.asarray(rng.normal(size=(3, 8, 8)), jnp.float32)
+    mask = jnp.ones((3, 8), bool)
+    got, _ = flipr_score_reduce(scores, mask, query_maxlen=8, K2=8)
+    per_tok = np.asarray(scores).max(axis=1)
+    want = np.sort(per_tok, axis=-1)[:, -4:].sum(-1)  # K1 only, K2 > rest
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
