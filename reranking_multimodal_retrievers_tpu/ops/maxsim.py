@@ -80,16 +80,22 @@ def flipr_score_reduce(
     return A, scores_masked
 
 
-def colbert_score(Q: jax.Array, D_padded: jax.Array, d_mask: jax.Array):
+def colbert_score(Q: jax.Array, D_padded: jax.Array, d_mask: jax.Array,
+                  interaction: str = "colbert", query_maxlen: int = 32,
+                  K2: int = 8):
     """MaxSim score of query matrices against (aligned) document matrices.
 
     Q is [1, L_q, dim] (score one query against all docs) or
     [num_docs, L_q, dim] (aligned pairs), exactly as the reference
-    (`flmr_utils.py:33-48`).
+    (`flmr_utils.py:33-48`). ``interaction`` dispatches the reduction — the
+    engine settings vocabulary's ``interaction: 'colbert' | 'flipr'``
+    (`colbert/infra/config/settings.py:110`, reduce at
+    `colbert/modeling/colbert.py:246-263`).
 
     Returns (scores [num_docs], scores_masked [num_docs, L_d, L_q]).
     """
     assert Q.ndim == 3 and D_padded.ndim == 3
+    assert interaction in ("colbert", "flipr"), interaction
     # D @ Q^T with fp32 accumulation on the MXU.
     scores = jax.lax.dot_general(
         D_padded,
@@ -100,6 +106,8 @@ def colbert_score(Q: jax.Array, D_padded: jax.Array, d_mask: jax.Array):
     if Q.shape[0] == 1:
         # dot_general without batch dims gives [num_docs, L_d, 1, L_q]
         scores = scores.reshape(D_padded.shape[0], D_padded.shape[1], Q.shape[1])
+    if interaction == "flipr":
+        return flipr_score_reduce(scores, d_mask, query_maxlen, K2)
     return colbert_score_reduce(scores, d_mask)
 
 
