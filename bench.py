@@ -247,6 +247,8 @@ def bench_blip2_decoder():
 
     K, L = 100, 512
     CHUNK = int(os.environ.get("BENCH_BLIP2_CHUNK", "10"))
+    if K % CHUNK:
+        raise ValueError(f"BENCH_BLIP2_CHUNK={CHUNK} must divide K={K}")
     t5_xl = T5Config(d_model=2048, d_kv=64, d_ff=5120, num_layers=24,
                      num_decoder_layers=24, num_heads=32,
                      # fused VMEM-resident attention for the XL encoder —

@@ -41,6 +41,7 @@ def pool_doc_tokens(emb: jax.Array, mask: jax.Array, factor: int = 2,
       (pooled [N, L_p, dim] same dtype, pooled_mask [N, L_p] bool)
     """
     N, L, dim = emb.shape
+    assert L % factor == 0, f"factor {factor} must divide doc length {L}"
     L_p = L // factor
     x = emb.astype(jnp.float32)
     m = mask.astype(jnp.float32)[..., None]          # [N, L, 1]

@@ -167,11 +167,15 @@ class Condenser:
         """Joint rescoring; keep positive scores, ≥ min_facts, ≤ max_docs
         distinct pids (`condense.py:115-140`)."""
         cfg = self.config
-        facts = [self.collectionY[k] for k in preds if k in self.collectionY]
+        # keep (key, text) together: scores index the FILTERED fact list, so
+        # a pred missing from collectionY must drop its key too, not shift
+        # every later pairing
+        kept = [(k, self.collectionY[k]) for k in preds if k in self.collectionY]
+        facts = [t for _, t in kept]
         joint = " [MASK] ".join([""] + facts)
         scores = self._score(self.paramsL2, query, [joint])[0]
         scored = sorted(
-            [(float(scores[i]), preds[i]) for i in range(len(facts))],
+            [(float(scores[i]), kept[i][0]) for i in range(len(kept))],
             reverse=True,
         )[: cfg.stage2_keep]
         if not scored:
@@ -209,14 +213,26 @@ class HopSearcher:
 
 
 class BaleenEngine:
-    """`baleen/engine.py:14-58`: hop → search → condense → extend query."""
+    """`baleen/engine.py:14-58`: hop → search → condense → extend query.
+
+    ``docid_to_pid`` translates the searcher's (free-form string) doc ids
+    into the condenser collection's integer pids; the default strips
+    non-digits (covers both bare-integer ids and 'd123'-style test ids) and
+    unknown ids are dropped rather than crashing the hop."""
 
     def __init__(self, hop_searcher: HopSearcher, condenser: Condenser,
-                 encode_query, num_hops: int = 2):
+                 encode_query, num_hops: int = 2, docid_to_pid=None):
         self.hop_searcher = hop_searcher
         self.condenser = condenser
         self.encode_query = encode_query  # (text, facts) -> Q embeddings
         self.num_hops = num_hops
+        self.docid_to_pid = docid_to_pid or self._default_docid_to_pid
+
+    @staticmethod
+    def _default_docid_to_pid(doc_id) -> Optional[int]:
+        s = str(doc_id)
+        digits = "".join(c for c in s if c.isdigit())
+        return int(digits) if digits else None
 
     def search(self, query: str):
         facts: List[Tuple[int, int]] = []
@@ -227,7 +243,10 @@ class BaleenEngine:
                                           for k in facts
                                           if k in self.condenser.collectionY])
             doc_ids, _ = self.hop_searcher.search(Q, hop)
-            ranking = [int(d) for d in doc_ids[0]]
+            ranking = [
+                pid for pid in (self.docid_to_pid(d) for d in doc_ids[0])
+                if pid is not None and pid in self.condenser.collectionX
+            ]
             pids_seen.extend(ranking)
             _, stage2_facts, facts = self.condenser.condense(
                 query, facts, ranking

@@ -88,8 +88,9 @@ class EngineConfig:
     def __post_init__(self):
         if not self.name:
             self.name = _timestamp(daydir=True)
-        if not hasattr(self, "_explicit"):
-            self._explicit = set()
+        # NOTE: _explicit is set only by .make(); a plain EngineConfig(...)
+        # has no _explicit attr, so from_existing treats ALL of its fields
+        # as explicit (the natural constructor semantics)
 
     @classmethod
     def make(cls, **kwargs) -> "EngineConfig":

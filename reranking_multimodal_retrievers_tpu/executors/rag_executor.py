@@ -271,40 +271,59 @@ class RagExecutor(RerankerExecutor):
         return {"loss": float(np.asarray(loss))}
 
     # -------------------------------------------------------------- eval
-    def doc_losses(self, input_ids, attention_mask, pixel_values,
-                   answer_tokens) -> np.ndarray:
-        """Per-doc teacher-forced NLL of ``answer_tokens`` — the reference's
-        ``loss_with_doc_scores`` (`RAG_BLIP_executor.py:560-612`): each
-        retrieved doc's prompt scores the *same* generated answer, and lower
+    def generate_with_losses(self, input_ids, attention_mask, pixel_values):
+        """(tokens, per-doc NLL of each doc's OWN generation) in ONE jitted
+        program — the encoder (vision + Q-Former + T5, the dominant eval
+        cost) runs once and its states feed both the greedy decode and the
+        teacher-forced loss. The losses are the reference's
+        ``loss_with_doc_scores`` (`RAG_BLIP_executor.py:560-612`): lower
         loss ranks the doc's generation higher in ``compute_exact_match`` /
         the retriever-hit analysis."""
         import jax
         import jax.numpy as jnp
 
-        if getattr(self, "_doc_loss_fn", None) is None:
-
-            @jax.jit
-            def _loss(params, ids, mask, pix, labels, label_mask):
-                enc_states, enc_mask = self._encode(params, ids, mask, pix)
-                start = jnp.full((labels.shape[0], 1),
-                                 self.decoder_start_token_id, jnp.int32)
-                dec_in = jnp.concatenate([start, labels[:, :-1]], axis=1)
-                logits = self._decode_logits(params, dec_in, enc_states, enc_mask)
-                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-                tok_ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-                denom = jnp.maximum(label_mask.sum(-1), 1.0)
-                return -(tok_ll * label_mask).sum(-1) / denom
-
-            self._doc_loss_fn = _loss
-        labels = jnp.asarray(answer_tokens, jnp.int32)
         pad_id = getattr(
             getattr(self.tokenizers.get("decoder_tokenizer"), "tok", None),
             "pad_token_id", 0) or 0
-        label_mask = (labels != pad_id).astype(jnp.float32)
-        return np.asarray(self._doc_loss_fn(
-            self.params, input_ids, attention_mask, pixel_values,
-            labels, label_mask,
-        ))
+
+        if getattr(self, "_gen_loss_fn", None) is None:
+
+            @jax.jit
+            def _gen_loss(params, ids, mask, pix):
+                enc_states, enc_mask = self._encode(params, ids, mask, pix)
+                B = ids.shape[0]
+                start = jnp.full((B, 1), self.decoder_start_token_id, jnp.int32)
+
+                def step(tokens, _):
+                    logits = self._decode_logits(params, tokens,
+                                                 enc_states, enc_mask)
+                    nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                    tokens = jnp.concatenate([tokens[:, 1:], nxt[:, None]],
+                                             axis=1)
+                    return tokens, nxt
+
+                init = jnp.pad(start, ((0, 0), (self.max_answer_length - 1, 0)))
+                _, outs = jax.lax.scan(step, init, None,
+                                       length=self.max_answer_length)
+                labels = jnp.swapaxes(outs, 0, 1)  # [B, L]
+                # teacher-forced NLL of the generated tokens on the SAME
+                # encoder states
+                dec_in = jnp.concatenate([start, labels[:, :-1]], axis=1)
+                logits = self._decode_logits(params, dec_in,
+                                             enc_states, enc_mask)
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                tok_ll = jnp.take_along_axis(
+                    logp, labels[..., None], axis=-1)[..., 0]
+                label_mask = (labels != pad_id).astype(jnp.float32)
+                denom = jnp.maximum(label_mask.sum(-1), 1.0)
+                losses = -(tok_ll * label_mask).sum(-1) / denom
+                return labels, losses
+
+            self._gen_loss_fn = _gen_loss
+        tokens, losses = self._gen_loss_fn(
+            self.params, input_ids, attention_mask, pixel_values
+        )
+        return np.asarray(tokens), np.asarray(losses)
 
     def evaluate(self, mode: str = "test") -> ConfigDict:
         import jax.numpy as jnp
@@ -340,13 +359,14 @@ class RagExecutor(RerankerExecutor):
                         )
                     ids = jnp.asarray(enc["input_ids"], jnp.int32)
                     am = jnp.asarray(enc["attention_mask"], jnp.int32)
-                    out_tokens = self.generate(ids, am, pix)
+                    # one program: encode once, greedy-decode per doc, and
+                    # score each doc's own generation (reference ranks
+                    # proposals by ascending loss, `RAG_BLIP_executor.py:
+                    # 560-612`); the final prediction is the lowest-loss
+                    # doc's generation
+                    out_tokens, losses = self.generate_with_losses(ids, am, pix)
                     answers = [tok.decode(t, skip_special_tokens=True)
                                for t in out_tokens]
-                    # per-doc generation loss (reference ranks proposals by
-                    # ascending loss, `RAG_BLIP_executor.py:560-612`); the
-                    # final prediction is the lowest-loss doc's generation
-                    losses = self.doc_losses(ids, am, pix, out_tokens)
                     best = int(np.argmin(losses)) if len(losses) else 0
                     results.append({
                         "question_id": qid,

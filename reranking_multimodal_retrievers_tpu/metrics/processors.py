@@ -300,6 +300,10 @@ class MetricsProcessor:
                 order = np.argsort(doc_losses)
                 answer_list = cleaner.clean_texts(answer_list)
                 proposals = cleaner.clean_texts(proposals)
+                # faithful reference quirk (`:249-258`): the proposal is
+                # cleaned/lowercased but the doc text is raw, so containment
+                # misses case-mismatched mentions — kept identical so the
+                # hit-breakdown numbers compare 1:1
                 for idx, doc_text in enumerate(doc_texts):
                     em = proposals[idx] in answer_list
                     contain = proposals[idx] in doc_text
@@ -307,8 +311,13 @@ class MetricsProcessor:
                     hits["successful_no_hit"].append(int(em and not contain))
                     hits["failed_hit"].append(int(not em and contain))
                     hits["failed_no_hit"].append(int(not em and not contain))
+                if not len(order):
+                    continue
                 picked = proposals[order[0]]
-                picked_doc = doc_texts[order[0]]
+                # a query may have a generation but zero retrieved docs (the
+                # question-only prompt fallback) — count it as no_hit instead
+                # of crashing on an empty doc list
+                picked_doc = doc_texts[order[0]] if order[0] < len(doc_texts) else ""
                 em = picked in answer_list
                 contain = picked in picked_doc
                 hits["selected_successful_hit"].append(int(em and contain))
@@ -319,6 +328,8 @@ class MetricsProcessor:
 
         for name, vals in log_result.items():
             log_dict.metrics[name] = float(np.mean(np.array(vals))) if vals else 0.0
+        # faithful reference quirk (`:403`): K is whatever the LAST query's
+        # doc count was — kept for 1:1 metric-dump comparability
         log_dict.metrics["n_retrieved_docs"] = K
         return log_dict
 

@@ -69,12 +69,19 @@ def flipr_score_reduce(
     """
     if d_mask.ndim == 3:
         d_mask = d_mask[..., 0]
+    assert scores_padded.shape[-1] >= query_maxlen, (
+        "flipr needs at least query_maxlen query columns",
+        scores_padded.shape, query_maxlen,
+    )
     valid = d_mask.astype(bool)[:, :, None]
     scores_masked = jnp.where(valid, scores_padded, MASK_FILL_VALUE)
     per_tok = jnp.max(scores_masked, axis=1)  # [num_docs, L_q]
     K1 = query_maxlen // 2
     A = jnp.sum(jax.lax.top_k(per_tok[:, :query_maxlen], K1)[0], axis=-1)
     rest = per_tok.shape[1] - query_maxlen
+    # faithful reference quirk (`colbert.py:258-260`): when the expansion
+    # block is shorter than K2, it contributes NOTHING (B stays 0) — the
+    # reference does not fall back to top-min(K2, rest)
     if K2 <= rest:
         A = A + jnp.sum(jax.lax.top_k(per_tok[:, query_maxlen:], K2)[0], axis=-1)
     return A, scores_masked

@@ -81,3 +81,16 @@ def test_provenance(tmp_path):
     p = str(tmp_path / "prov.json")
     prov.save(p)
     assert json.load(open(p))["provenance"]["created_at"]
+
+
+def test_plain_constructor_counts_as_fully_explicit():
+    """A plain EngineConfig(...) (no .make) contributes ALL its fields when
+    merged — the natural constructor semantics."""
+    base = EngineConfig.make(doc_maxlen=300)
+    merged = EngineConfig.from_existing(base, EngineConfig(nway=8))
+    assert merged.nway == 8
+    # the plain config's dataclass defaults clobber too (it is "all explicit")
+    assert merged.doc_maxlen == 220
+    run = Run()
+    with run.context(EngineConfig(nway=6, root="r", experiment="e", name="n")):
+        assert run.config.nway == 6 and run.config.experiment == "e"
