@@ -1,0 +1,111 @@
+"""Serving layer: micro-batching over the jitted programs (serving/)."""
+
+import threading
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reranking_multimodal_retrievers_tpu.serving import (
+    MicroBatcher, RerankService, RetrievalService,
+)
+
+
+def test_microbatcher_groups_and_orders():
+    calls = []
+
+    def run(items):
+        calls.append(len(items))
+        return [x * 10 for x in items]
+
+    mb = MicroBatcher(run, max_batch=4, max_wait_ms=50)
+    futs = [mb.submit(i) for i in range(10)]
+    results = [f.result(timeout=5) for f in futs]
+    mb.close()
+    assert results == [i * 10 for i in range(10)]
+    assert sum(calls) == 10
+    # coalescing actually happened: fewer device calls than items
+    assert len(calls) < 10
+    assert max(mb.batch_sizes) > 1
+
+
+def test_microbatcher_propagates_errors():
+    def run(items):
+        raise RuntimeError("boom")
+
+    mb = MicroBatcher(run, max_batch=2, max_wait_ms=1)
+    f = mb.submit(1)
+    with pytest.raises(RuntimeError):
+        f.result(timeout=5)
+    mb.close()
+
+
+def test_rerank_service_pads_and_distributes():
+    """A toy 'program' with a STATIC [B·K, L] shape: the service must pad
+    partial groups to the full geometry and hand each caller its own [K]."""
+    K, L, B = 4, 8, 4
+    seen_shapes = []
+
+    def rerank_fn(params, ids, am, tt, pix):
+        seen_shapes.append(tuple(ids.shape))
+        return jnp.sum(ids, axis=-1).reshape(B, K).astype(jnp.float32)
+
+    svc = RerankService(rerank_fn, params={}, nway=K, max_batch=B,
+                        max_wait_ms=30)
+    reqs = []
+    for q in range(6):  # 6 queries -> at least two device calls
+        ids = np.full((K, L), q + 1, np.int32)
+        reqs.append((q, svc.rerank(ids, np.ones((K, L), np.int32))))
+    for q, fut in reqs:
+        logits = fut.result(timeout=10)
+        assert logits.shape == (K,)
+        np.testing.assert_allclose(logits, (q + 1) * L)
+    svc.close()
+    # every device call saw the full static geometry
+    assert set(seen_shapes) == {(B * K, L)}
+
+
+def test_retrieval_service_end_to_end():
+    from reranking_multimodal_retrievers_tpu.engine.index import TokenIndex
+    from reranking_multimodal_retrievers_tpu.engine.search import make_search_fn
+
+    rng = np.random.default_rng(0)
+    N, Ld, dim, Lq, B = 32, 8, 32, 8, 4
+    emb = rng.normal(size=(N, Ld, dim)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    index = TokenIndex.from_arrays(emb, np.ones((N, Ld), bool),
+                                   [f"d{i}" for i in range(N)])
+    fn = make_search_fn(None, index.num_padded_docs, k=3)
+    svc = RetrievalService(fn, index, batch_queries=B, max_wait_ms=30)
+
+    futs = [svc.search(emb[t, :Lq]) for t in (0, 7, 21)]
+    for t, fut in zip((0, 7, 21), futs):
+        doc_ids, scores = fut.result(timeout=10)
+        assert doc_ids[0] == f"d{t}"          # self-retrieval top-1
+        assert len(doc_ids) == 3 and scores.shape == (3,)
+    svc.close()
+
+
+def test_concurrent_clients():
+    """Many threads submitting concurrently all get their own answers."""
+    def run(items):
+        return [x + 1 for x in items]
+
+    mb = MicroBatcher(run, max_batch=8, max_wait_ms=5)
+    out = {}
+    lock = threading.Lock()
+
+    def client(i):
+        r = mb(i)
+        with lock:
+            out[i] = r
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(32)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    mb.close()
+    assert out == {i: i + 1 for i in range(32)}
