@@ -109,3 +109,47 @@ def test_concurrent_clients():
         t.join(timeout=10)
     mb.close()
     assert out == {i: i + 1 for i in range(32)}
+
+
+def test_rerank_service_with_real_chunked_program():
+    """Integration: the service drives the actual FullContextRerankModel
+    chunked program (engine.make_chunked_rerank_fn) at tiny scale."""
+    from reranking_multimodal_retrievers_tpu.engine import make_chunked_rerank_fn
+    from reranking_multimodal_retrievers_tpu.models.bert import BertConfig
+    from reranking_multimodal_retrievers_tpu.models.vit import CLIPVisionConfig
+    from reranking_multimodal_retrievers_tpu.models.flmr import FLMRConfig
+    from reranking_multimodal_retrievers_tpu.models.rerankers import (
+        FullContextRerankModel, RerankConfig,
+    )
+
+    K, L, B = 2, 16, 2
+    flmr = FLMRConfig.tiny()
+    cfg = RerankConfig(
+        flmr=flmr,
+        cross_encoder=BertConfig.tiny(max_position_embeddings=64),
+        loss_fn="BCE", max_query_length=4, max_decoder_source_length=L,
+    )
+    model = FullContextRerankModel(cfg)
+    rng = np.random.default_rng(0)
+    img = flmr.vision_config.image_size
+    ids = jnp.asarray(rng.integers(3, 50, size=(B * K, L)), jnp.int32)
+    am = jnp.ones((B * K, L), jnp.int32)
+    tt = jnp.zeros((B * K, L), jnp.int32)
+    pix = jnp.asarray(rng.normal(size=(B, 3, img, img)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), ids[:K], am[:K], tt[:K],
+                        pix[:1], num_negative_examples=K - 1)["params"]
+    fn = make_chunked_rerank_fn(model, nway=K, chunk_size=K)
+    svc = RerankService(fn, params, nway=K, max_batch=B, max_wait_ms=20)
+    futs = [
+        svc.rerank(np.asarray(ids[q * K : (q + 1) * K]),
+                   np.asarray(am[q * K : (q + 1) * K]),
+                   np.asarray(tt[q * K : (q + 1) * K]),
+                   np.asarray(pix[q]))
+        for q in range(B)
+    ]
+    # oracle: the same program called directly on the full batch
+    want = np.asarray(fn(params, ids, am, tt, pix)).reshape(B, K)
+    for q, fut in enumerate(futs):
+        got = fut.result(timeout=60)
+        np.testing.assert_allclose(got, want[q], atol=1e-4, rtol=1e-4)
+    svc.close()
