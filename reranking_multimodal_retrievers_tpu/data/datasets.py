@@ -126,23 +126,40 @@ class CommonDatasetForDPR(BaseDataset):
     rejection-sampled negatives from the corpus."""
 
     def __init__(self, *args, passages=None, num_negative_samples: int = 1,
-                 seed: int = 42, **kwargs):
+                 seed: int = 42, use_self_negatives: bool = False,
+                 id2source=None, **kwargs):
         super().__init__(*args, **kwargs)
         self.passages = passages  # {"id2doc": {id: content}}
         self.num_negative_samples = num_negative_samples
         self.rng = random.Random(seed)
         self._all_ids = list(passages["id2doc"].keys()) if passages else []
+        # 'use_self_negatives' module flag (reference `dpr_datasets.py:
+        # 128-139`): restrict rejection sampling to negatives from the same
+        # source dataset as the query (multi-source M2KR training);
+        # PrepareDataloaders wires it from model_config.modules
+        self.use_self_negatives = use_self_negatives
+        self.id2source = id2source or (passages or {}).get("id2source", {})
 
     def __getitem__(self, idx):
         sample = dict(self.dataset[int(idx)])
         pos_ids = list(sample.get("pos_item_ids", []))
         pos_id = self.rng.choice(pos_ids) if pos_ids else self._all_ids[0]
         pos_set = set(pos_ids)
+        negative_source = (
+            sample.get("source_name") if self.use_self_negatives else None
+        )
         negs = []
+        attempts = 0
         while len(negs) < self.num_negative_samples:
             cand = self.rng.choice(self._all_ids)
-            if cand not in pos_set:
-                negs.append(cand)
+            attempts += 1
+            if cand in pos_set:
+                continue
+            if (negative_source is not None and attempts < 64
+                    and self.id2source.get(cand, negative_source)
+                    != negative_source):
+                continue
+            negs.append(cand)
         id2doc = self.passages["id2doc"]
         sample["pos_item_id"] = pos_id
         sample["neg_item_ids"] = negs

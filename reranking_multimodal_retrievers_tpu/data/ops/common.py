@@ -134,6 +134,11 @@ class PrepareDataloaders(BaseTransform):
                         gc.get_path("model_config.num_negative_samples", 1)
                         if hasattr(gc, "get_path") else 1,
                     )
+                    ds_kwargs["use_self_negatives"] = (
+                        "use_self_negatives"
+                        in (gc.get_path("model_config.modules", [])
+                            if hasattr(gc, "get_path") else [])
+                    )
                 ds_kwargs.update(dc)
                 dataset = ds_cls(**ds_kwargs)
 

@@ -233,9 +233,23 @@ class FLMRExecutor(BaseExecutor):
                 )
                 return out.late_interaction_output, out.context_mask
 
+            @jax.jit
+            def doc_fn_mm(params, input_ids, attention_mask, image_features):
+                # 'multimodal_docs' (reference `FLMR_base_executor.py:
+                # 703-715` + `modeling_flmr.py:1535-1543`): vision tokens
+                # prepended to the doc representation
+                out = self.model.apply(
+                    {"params": params}, input_ids, attention_mask,
+                    image_features=image_features,
+                    concat_output_from_vision_encoder=True,
+                    method=FLMRModelForRetrieval.doc,
+                )
+                return out.late_interaction_output, out.context_mask
+
             self._query_fn = query_fn
             self._query_fn_text = query_fn_text
             self._doc_fn = doc_fn
+            self._doc_fn_mm = doc_fn_mm
 
     def current_params(self):
         if self._train_state is not None:
@@ -255,21 +269,57 @@ class FLMRExecutor(BaseExecutor):
         contents = [self.id2doc[d] for d in doc_ids]
         bs = self.config.get_path("test.index_batch_size", 16)
         dlen = self.config.get_path("model_config.doc_maxlen", 64)
+        # 'multimodal_docs' (reference `:703-715`): per-doc precomputed image
+        # features from the pipeline (id2doc_image_features) join the encode
+        multimodal = (
+            "multimodal_docs" in (
+                self.config.get_path("model_config.modules", []) or [])
+            or self.config.get_path("model_config.multimodal_docs", False)
+        )
+        id2feat = self.prepared_data.get("id2doc_image_features") or {}
+        multimodal = multimodal and bool(id2feat)
         embs, masks = [], []
         for i in range(0, len(contents), bs):
             chunk = contents[i : i + bs]
+            cids = doc_ids[i : i + bs]
             real = len(chunk)
             if real < bs:
                 chunk = chunk + [chunk[-1]] * (bs - real)
+                cids = cids + [cids[-1]] * (bs - real)
             enc = ct(chunk, max_length=dlen)
-            e, m = self._doc_fn(
-                params, jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"])
-            )
+            if multimodal:
+                feat0 = np.asarray(next(iter(id2feat.values())), np.float32)
+                feats = np.stack([
+                    np.asarray(id2feat.get(d, np.zeros_like(feat0)), np.float32)
+                    for d in cids
+                ])
+                e, m = self._doc_fn_mm(
+                    params, jnp.asarray(enc["input_ids"]),
+                    jnp.asarray(enc["attention_mask"]), jnp.asarray(feats),
+                )
+            else:
+                e, m = self._doc_fn(
+                    params, jnp.asarray(enc["input_ids"]),
+                    jnp.asarray(enc["attention_mask"]),
+                )
             embs.append(np.asarray(e, np.float16)[:real])
             masks.append(np.asarray(m)[:real])
         return TokenIndex.from_arrays(
             np.concatenate(embs), np.concatenate(masks), doc_ids, mesh=self.mesh
         )
+
+    class _CompressedAdapter:
+        """CompressedSearcher → Searcher interface: int indices to doc ids."""
+
+        def __init__(self, inner, doc_ids):
+            self.inner = inner
+            self.doc_ids = doc_ids
+
+        def search(self, Q, remove_zero_rows: bool = False):
+            vals, idx = self.inner.search(Q)
+            ids = [[self.doc_ids[j] for j in row if j < len(self.doc_ids)]
+                   for row in idx]
+            return ids, vals
 
     def evaluate(self, mode: str = "test") -> ConfigDict:
         import jax.numpy as jnp
@@ -279,8 +329,29 @@ class FLMRExecutor(BaseExecutor):
         Ks = self.config.get_path("model_config.Ks", [5, 10, 20, 50, 100])
         limit = self.config.get_path(f"{mode}.trainer_paras.limit_{'val' if mode=='valid' else 'test'}_batches")
 
+        modules = self.config.get_path("model_config.modules", []) or []
         index = self.build_index()
-        searcher = Searcher(index, k=min(max(Ks), max(index.num_docs, 1)))
+        k = min(max(Ks), max(index.num_docs, 1))
+        # search-path selection mirrors the reference's flag vocabulary
+        # (`FLMR_base_executor.py:722-732`): 'exhaustive_search_in_testing'
+        # forces exact scoring (our DEFAULT — SURVEY §7 treats the exhaustive
+        # branch as ground truth); 'use_compressed_search' opts into the
+        # PLAID-role two-stage path for corpora that outgrow fp16 HBM
+        if ("use_compressed_search" in modules
+                and "exhaustive_search_in_testing" not in modules):
+            from ..engine.codec import compress
+            from ..engine.plaid import CompressedSearcher
+
+            cidx = compress(
+                np.asarray(index.embeddings, np.float32),
+                np.asarray(index.mask), index.doc_ids,
+                num_centroids=int(self.config.get_path(
+                    "model_config.num_centroids", 256)),
+            )
+            searcher = self._CompressedAdapter(
+                CompressedSearcher(cidx, k=k), index.doc_ids)
+        else:
+            searcher = Searcher(index, k=k)
 
         batch_results: List[dict] = []
         for name, loader in self.eval_dataloaders(mode).items():

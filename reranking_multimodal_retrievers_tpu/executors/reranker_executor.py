@@ -64,6 +64,10 @@ class RerankerExecutor(BaseExecutor):
         ce_cfg = BertConfig(**mc.get("cross_encoder", {"num_hidden_layers": 1}))
         loss_fn = mc.get("loss_fn", "BCE")
         pos_weight = mc.get("pos_weight")
+        if "weighted_regression" in self.modules:
+            # reference `Reranker_base_executor.py:196-199`: weight the BCE
+            # positive class by the group size (1 pos : N negs)
+            pos_weight = float(self.num_negative_samples + 1)
 
         if "interaction_reranker" in self.modules:
             self.reranker_family = "interaction"
@@ -540,6 +544,55 @@ class RerankerExecutor(BaseExecutor):
             self.global_step = int(np.asarray(step))
 
     # ------------------------------------------------------------- eval
+    def _fast_validate(self, limit) -> ConfigDict:
+        """Loss-only validation — the reference's ``fast_evaluate_outputs``
+        path (`Reranker_base_executor.py:641-645`). Doc selection mirrors
+        training (static retrieval; the ``test_with_retrieved_docs`` flag
+        adds sampled-doc labels exactly like ``train_with_retrieved_docs``,
+        reference `:730-751`)."""
+        import jax
+        import jax.numpy as jnp
+
+        if getattr(self, "_val_loss_fn", None) is None:
+
+            @jax.jit
+            def _loss(params, model_batch):
+                out = self.reranker.apply(
+                    {"params": params}, **model_batch,
+                    num_negative_examples=self.num_negative_samples,
+                )
+                return out.loss
+
+            self._val_loss_fn = _loss
+
+        nway = self.num_negative_samples + 1
+        losses = []
+        for name, loader in self.eval_dataloaders("valid").items():
+            for bi, batch in enumerate(loader):
+                if limit and bi >= limit:
+                    break
+                doc_ids, labels = [], []
+                for qi, qid in enumerate(batch["question_ids"]):
+                    pos = batch.get("pos_item_ids", [[None]])[qi]
+                    sel, lab = self._select_training_docs(
+                        qid, [p for p in pos if p])
+                    doc_ids.extend(sel)
+                    labels.extend(lab)
+                contents = [self.id2doc.get(d, "") for d in doc_ids]
+                queries = [remove_instruction_prefix(q)
+                           for q in batch["questions"]]
+                model_batch = self._build_rerank_inputs(
+                    batch, queries, contents, nway)
+                if ("test_with_retrieved_docs" in self.modules
+                        or ("train_with_retrieved_docs" in self.modules
+                            and "neg_sample_retrieved" not in self.modules)):
+                    model_batch["labels"] = jnp.asarray(labels, jnp.float32)
+                losses.append(float(np.asarray(
+                    self._val_loss_fn(self.params, model_batch))))
+        out = ConfigDict(metrics={}, artifacts={})
+        out.metrics["loss"] = float(np.mean(losses)) if losses else 0.0
+        return out
+
     def evaluate(self, mode: str = "test") -> ConfigDict:
         import jax
         import jax.numpy as jnp
@@ -547,6 +600,11 @@ class RerankerExecutor(BaseExecutor):
         limit = self.config.get_path(
             f"{mode}.trainer_paras.limit_{'val' if mode=='valid' else 'test'}_batches"
         )
+        if mode == "valid" and "full_validation" not in self.modules:
+            # reference default (`Reranker_base_executor.py:641-645`):
+            # validation computes loss only; the full rerank runs only when
+            # the 'full_validation' module flag is set
+            return self._fast_validate(limit)
         K = self.docs_to_rerank
         batch_results: List[dict] = []
 
@@ -556,6 +614,10 @@ class RerankerExecutor(BaseExecutor):
         # (the reference instead *halves* batches on OOM, `:838-919`, and
         # leaves other GPUs idle)
         chunk_size = self.config.get_path("model_config.eval_chunk_size", 64)
+        if "split_testing_batch" in self.modules:
+            # reference `:838-919` halves OOM-ing test batches at runtime;
+            # here the static equivalent is a half-size scan chunk
+            chunk_size = max(1, chunk_size // 2)
         if self.reranker_family == "full_context":
             if self._rerank_fn is None:
                 from ..engine import make_chunked_rerank_fn

@@ -75,6 +75,9 @@ class DPRConfig:
     use_vision: bool = False
     vision_prefix_length: int = 4
     bpr: bool = False  # binary passage retrieval loss (retriever_dpr.py:233)
+    # the 'separate_query_and_item_encoders' module flag (reference
+    # `retriever_dpr.py:55,89`): False shares one BERT tower for both sides
+    separate_query_and_item_encoders: bool = True
 
     @classmethod
     def tiny(cls, **kw):
@@ -101,7 +104,11 @@ class VisualDPR(nn.Module):
     def setup(self):
         cfg = self.config
         self.query_encoder = BertModel(cfg.text_config, name="query_encoder")
-        self.item_encoder = BertModel(cfg.text_config, name="item_encoder")
+        self.item_encoder = (
+            BertModel(cfg.text_config, name="item_encoder")
+            if cfg.separate_query_and_item_encoders
+            else self.query_encoder
+        )
         if cfg.projection_dim:
             self.query_proj = nn.Dense(cfg.projection_dim, name="query_proj")
             self.item_proj = nn.Dense(cfg.projection_dim, name="item_proj")

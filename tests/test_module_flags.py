@@ -1,0 +1,66 @@
+"""The reference's full `model_config.modules` flag vocabulary (SURVEY §5).
+
+Each flag named in the reference grep
+(`Reranker_base_executor.py:151-183,568-601`, `FLMR_base_executor.py:722-723`,
+`dpr_datasets.py:128-139`, `retriever_dpr.py:55,89`) must be recognized and
+change behavior."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_separate_query_and_item_encoders_flag():
+    from reranking_multimodal_retrievers_tpu.models.legacy_retrievers import (
+        DPRConfig, VisualDPR,
+    )
+
+    ids = jnp.ones((2, 8), jnp.int32)
+    am = jnp.ones((2, 8), jnp.int32)
+    item_ids = jnp.ones((4, 8), jnp.int32)
+    item_am = jnp.ones((4, 8), jnp.int32)
+    sep = VisualDPR(DPRConfig.tiny())
+    shared = VisualDPR(DPRConfig.tiny(separate_query_and_item_encoders=False))
+    p_sep = sep.init(jax.random.PRNGKey(0), ids, am, item_ids, item_am)["params"]
+    p_sh = shared.init(jax.random.PRNGKey(0), ids, am, item_ids, item_am)["params"]
+    assert "item_encoder" in p_sep and "item_encoder" not in p_sh
+    out = shared.apply({"params": p_sh}, ids, am, item_ids, item_am)
+    assert np.isfinite(float(out.loss))
+
+
+def test_use_self_negatives_restricts_source():
+    from reranking_multimodal_retrievers_tpu.data.datasets import (
+        CommonDatasetForDPR,
+    )
+
+    rows = [{"question_id": "q0", "questions": "x", "pos_item_ids": ["A0"],
+             "source_name": "A"}]
+    id2doc = {f"{s}{i}": f"text {s}{i}" for s in "AB" for i in range(6)}
+    id2source = {k: k[0] for k in id2doc}
+
+    class _DS(CommonDatasetForDPR):
+        def __init__(self, **kw):
+            CommonDatasetForDPR.__init__(
+                self, config={}, dataset=rows, modules_config={}, **kw,
+            )
+
+    ds = _DS(passages={"id2doc": id2doc}, num_negative_samples=4,
+             use_self_negatives=True, id2source=id2source)
+    sample = ds[0]
+    assert all(n.startswith("A") for n in sample["neg_item_ids"]), sample
+    ds2 = _DS(passages={"id2doc": id2doc}, num_negative_samples=4,
+              use_self_negatives=False, id2source=id2source)
+    # without the flag, cross-source negatives are allowed (statistically
+    # certain over a few draws with 6/12 ids per source)
+    negs = set()
+    for _ in range(8):
+        negs.update(ds2[0]["neg_item_ids"])
+    assert any(n.startswith("B") for n in negs)
+
+
+def test_flipr_flag_in_engine_config():
+    from reranking_multimodal_retrievers_tpu.engine import EngineConfig
+
+    cfg = EngineConfig.make(interaction="flipr", query_maxlen=64)
+    assert cfg.interaction == "flipr"
