@@ -96,6 +96,9 @@ class BaseDataset(ModuleParser):
         if any("answers" in s for s in samples):
             batch["answers"] = [s.get("answers", []) for s in samples]
             batch["gold_answer"] = [s.get("gold_answer", "") for s in samples]
+        if any("source_name" in s for s in samples):
+            # multi-source M2KR: feeds validation_indexing_source routing
+            batch["source_name"] = [s.get("source_name", "") for s in samples]
         return batch
 
 

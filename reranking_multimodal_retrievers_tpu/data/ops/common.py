@@ -167,14 +167,19 @@ class PrepareDataloaders(BaseTransform):
 
 
 def _passages_from(input_data, use_column):
-    """Build {'id2doc': ...} from a '{split}_passages' table when present."""
+    """Build {'id2doc', 'id2source'} from a '{split}_passages' table when
+    present (`id2source` feeds use_self_negatives and
+    validation_indexing_source)."""
     col = input_data.get(use_column, {})
     id2doc = {}
+    id2source = {}
     for split_name, table in (col.items() if hasattr(col, "items") else []):
         if split_name.endswith("_passages"):
             for row in table:
                 id2doc[row["passage_id"]] = row["passage_content"]
-    return {"id2doc": id2doc}
+                if "source_name" in row:
+                    id2source[row["passage_id"]] = row["source_name"]
+    return {"id2doc": id2doc, "id2source": id2source}
 
 
 @register_transform_functor

@@ -43,6 +43,11 @@ def make_dummy_m2kr(num_rows=16, num_passages=32, with_images=False, image_dir=N
             f"passage {i} about {answers[i % len(answers)]} the capital city"
             for i in range(num_passages)
         ],
+        # M2KR passages carry their originating dataset (used by
+        # validation_indexing_source and use_self_negatives)
+        "source_name": [
+            ["okvqa", "wit"][i % 2] for i in range(num_passages)
+        ],
     }
     img_paths = [""] * num_rows
     if with_images and image_dir:
@@ -69,6 +74,9 @@ def make_dummy_m2kr(num_rows=16, num_passages=32, with_images=False, image_dir=N
         "answers": [[answers[i % len(answers)]] for i in range(num_rows)],
         "gold_answer": [answers[i % len(answers)] for i in range(num_rows)],
         "pos_item_ids": [[f"p{i % num_passages}"] for i in range(num_rows)],
+        # each question's originating dataset matches its positive passage's
+        # source (p{i} has source ['okvqa','wit'][i % 2])
+        "source_name": [["okvqa", "wit"][i % 2] for i in range(num_rows)],
     }
     split = datasets.Dataset.from_dict(rows)
     passages = datasets.Dataset.from_dict(passage_rows)

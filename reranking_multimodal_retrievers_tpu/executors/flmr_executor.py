@@ -108,20 +108,37 @@ class FLMRExecutor(BaseExecutor):
 
     def _setup_corpus(self):
         """Build id2doc from the pipeline's passage tables (reference
-        ``setup`` `:194-302`)."""
+        ``setup`` `:194-302`), plus per-source sub-corpora when
+        ``validation_indexing_source`` is set (`:230-255`: multi-task M2KR
+        validation retrieves each query against ITS dataset's passage pool,
+        not the merged corpus)."""
         self.id2doc: Dict[str, str] = {}
+        self.id2source: Dict[str, str] = {}
         passages = self.prepared_data.get("passages")
         if passages and "id2doc" in passages:
             self.id2doc = dict(passages["id2doc"])
+            self.id2source = dict(passages.get("id2source") or {})
         else:
             for mode, loaders in self.data_loaders.items():
                 for loader in loaders.values():
                     ds = getattr(loader, "dataset", None)
                     if ds is not None and getattr(ds, "passages", None):
                         self.id2doc.update(ds.passages["id2doc"])
+                        self.id2source.update(
+                            ds.passages.get("id2source") or {})
         if self.use_dummy_data and len(self.id2doc) > 200:
             # sanity-time corpus reduction (reference `:674-687`)
             self.id2doc = dict(list(self.id2doc.items())[:100])
+        self.source_id2doc: Dict[str, Dict[str, str]] = {}
+        sources = self.config.get_path(
+            "model_config.validation_indexing_source", None)
+        if sources:
+            for name in sources:
+                self.source_id2doc[name] = {}
+            for pid, content in self.id2doc.items():
+                src = self.id2source.get(pid)
+                if src in self.source_id2doc:
+                    self.source_id2doc[src][pid] = content
 
     # ------------------------------------------------------------ train
     def prepare_training(self, total_steps: int):
@@ -256,17 +273,19 @@ class FLMRExecutor(BaseExecutor):
             return self._train_state.params
         return self.params
 
-    def build_index(self) -> TokenIndex:
+    def build_index(self, id2doc=None) -> TokenIndex:
         """Encode the corpus into a TokenIndex (the reference's
         ``prepare_item_embeddings`` + ColBERT indexing collapsed into one
-        sharded encode, `:662-801`)."""
+        sharded encode, `:662-801`). ``id2doc`` overrides the corpus (the
+        per-source validation sub-corpora)."""
         import jax.numpy as jnp
 
         self._ensure_eval_fns()
         params = self.current_params()
         ct = self.tokenizers["decoder_tokenizer"]
-        doc_ids = list(self.id2doc.keys())
-        contents = [self.id2doc[d] for d in doc_ids]
+        id2doc = id2doc if id2doc is not None else self.id2doc
+        doc_ids = list(id2doc.keys())
+        contents = [id2doc[d] for d in doc_ids]
         bs = self.config.get_path("test.index_batch_size", 16)
         dlen = self.config.get_path("model_config.doc_maxlen", 64)
         # 'multimodal_docs' (reference `:703-715`): per-doc precomputed image
@@ -353,6 +372,16 @@ class FLMRExecutor(BaseExecutor):
         else:
             searcher = Searcher(index, k=k)
 
+        # per-source validation sub-indexes (reference `:230-255`): each
+        # query retrieves against its own dataset's passage pool
+        source_searchers = {}
+        if mode == "valid" and self.source_id2doc:
+            for src, sub in self.source_id2doc.items():
+                if sub:
+                    sidx = self.build_index(id2doc=sub)
+                    source_searchers[src] = Searcher(
+                        sidx, k=min(max(Ks), max(sidx.num_docs, 1)))
+
         batch_results: List[dict] = []
         for name, loader in self.eval_dataloaders(mode).items():
             for bi, batch in enumerate(loader):
@@ -372,6 +401,22 @@ class FLMRExecutor(BaseExecutor):
                         jnp.asarray(batch["attention_mask"]),
                     )
                 ids, scores = searcher.search(Q)
+                if source_searchers and "source_name" in batch:
+                    # overwrite rows whose source has a dedicated sub-index
+                    by_src = {}
+                    for qi, src in enumerate(batch["source_name"]):
+                        if src in source_searchers:
+                            by_src.setdefault(src, []).append(qi)
+                    ids, scores = list(ids), np.array(scores)  # writable copy
+                    for src, rows in by_src.items():
+                        s_ids, s_scores = source_searchers[src].search(
+                            Q[jnp.asarray(rows)])
+                        for out_i, qi in enumerate(rows):
+                            ids[qi] = s_ids[out_i]
+                            k_src = min(scores.shape[1],
+                                        np.asarray(s_scores).shape[1])
+                            scores[qi, :k_src] = np.asarray(
+                                s_scores)[out_i, :k_src]
                 real = batch.get("_real_count", len(ids))
                 for qi in range(real):
                     entry = {

@@ -222,3 +222,46 @@ def test_rag_blip2_train_then_test(tmp_path):
     entry = dump["predictions"][0]
     assert "per_doc_predictions" in entry and "loss_with_doc_scores" in entry
     assert len(entry["per_doc_predictions"]) == len(entry["loss_with_doc_scores"])
+
+
+def test_validation_indexing_source(tmp_path):
+    """validation_indexing_source (reference `FLMR_base_executor.py:230-255`):
+    validation retrieval runs each query against ITS source dataset's
+    passage sub-corpus, not the merged one."""
+    rc = main([
+        "--config", "configs/okvqa_flmr.json", "--mode", "train",
+        "--use_dummy_data",
+        "--opts", *(_opts(tmp_path, "vis")),
+        "train.trainer_paras.max_epochs=1",
+        "model_config.validation_indexing_source=['okvqa','wit']",
+        "valid.trainer_paras.limit_val_batches=1",
+    ])
+    assert rc == 0
+    # the run's validation retrieval wrote predictions via metrics; re-run a
+    # test-mode pass in valid mode by checking the executor wiring directly
+    from reranking_multimodal_retrievers_tpu.utils.config_system import (
+        load_config,
+    )
+    from reranking_multimodal_retrievers_tpu.utils.registries import (
+        Executor_Registry,
+    )
+
+    cfg = load_config("configs/okvqa_flmr.json")
+    cfg.meta.EXPERIMENT_FOLDER = f"{tmp_path}/experiments"
+    cfg.data_pipeline.cache_dir = f"{tmp_path}/cache"
+    cfg.model_config.validation_indexing_source = ["okvqa", "wit"]
+    ex = Executor_Registry["FLMRExecutor"](cfg, use_dummy_data=True)
+    # sub-corpora got built and partition the dummy corpus by source
+    assert set(ex.source_id2doc) == {"okvqa", "wit"}
+    n = sum(len(v) for v in ex.source_id2doc.values())
+    assert n == len(ex.id2doc) and all(ex.source_id2doc.values())
+    out = ex.evaluate("valid")
+    by_src = {"okvqa": 0, "wit": 1}
+    for entry in out["batch_retrieval_result"]:
+        qid = entry["question_id"]
+        qnum = int(qid[1:])
+        src = ["okvqa", "wit"][qnum % 2]
+        # every retrieved pid comes from the query's own source pool
+        for p in entry["top_ranking_passages"]:
+            pnum = int(p["passage_id"][1:])
+            assert pnum % 2 == by_src[src], (qid, p["passage_id"])
