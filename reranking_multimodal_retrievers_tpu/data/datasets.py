@@ -152,15 +152,18 @@ class CommonDatasetForDPR(BaseDataset):
             sample.get("source_name") if self.use_self_negatives else None
         )
         negs = []
-        attempts = 0
+        rejections = 0
         while len(negs) < self.num_negative_samples:
             cand = self.rng.choice(self._all_ids)
-            attempts += 1
             if cand in pos_set:
                 continue
-            if (negative_source is not None and attempts < 64
+            # count only source-mismatch REJECTIONS toward the escape hatch
+            # (a sparse source must not starve sampling, but successful
+            # draws must not burn the budget for large N)
+            if (negative_source is not None and rejections < 64
                     and self.id2source.get(cand, negative_source)
                     != negative_source):
+                rejections += 1
                 continue
             negs.append(cand)
         id2doc = self.passages["id2doc"]

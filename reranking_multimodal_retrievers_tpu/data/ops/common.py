@@ -173,13 +173,21 @@ def _passages_from(input_data, use_column):
     col = input_data.get(use_column, {})
     id2doc = {}
     id2source = {}
+    id2feat = {}
     for split_name, table in (col.items() if hasattr(col, "items") else []):
         if split_name.endswith("_passages"):
             for row in table:
                 id2doc[row["passage_id"]] = row["passage_content"]
                 if "source_name" in row:
                     id2source[row["passage_id"]] = row["source_name"]
-    return {"id2doc": id2doc, "id2source": id2source}
+                if "image_features" in row:
+                    # per-passage precomputed vision features — feeds the
+                    # 'multimodal_docs' indexing path
+                    id2feat[row["passage_id"]] = row["image_features"]
+    out = {"id2doc": id2doc, "id2source": id2source}
+    if id2feat:
+        out["id2doc_image_features"] = id2feat
+    return out
 
 
 @register_transform_functor

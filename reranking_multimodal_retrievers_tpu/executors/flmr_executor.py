@@ -289,14 +289,25 @@ class FLMRExecutor(BaseExecutor):
         bs = self.config.get_path("test.index_batch_size", 16)
         dlen = self.config.get_path("model_config.doc_maxlen", 64)
         # 'multimodal_docs' (reference `:703-715`): per-doc precomputed image
-        # features from the pipeline (id2doc_image_features) join the encode
+        # features join the encode. They arrive via the passages dict
+        # (`_passages_from` picks up a passage-table 'image_features' column)
+        # or directly under prepared_data.
         multimodal = (
             "multimodal_docs" in (
                 self.config.get_path("model_config.modules", []) or [])
             or self.config.get_path("model_config.multimodal_docs", False)
         )
-        id2feat = self.prepared_data.get("id2doc_image_features") or {}
+        passages = self.prepared_data.get("passages") or {}
+        id2feat = (
+            passages.get("id2doc_image_features")
+            or self.prepared_data.get("id2doc_image_features")
+            or {}
+        )
         multimodal = multimodal and bool(id2feat)
+        zero_feat = (
+            np.zeros_like(np.asarray(next(iter(id2feat.values())), np.float32))
+            if id2feat else None
+        )
         embs, masks = [], []
         for i in range(0, len(contents), bs):
             chunk = contents[i : i + bs]
@@ -307,9 +318,8 @@ class FLMRExecutor(BaseExecutor):
                 cids = cids + [cids[-1]] * (bs - real)
             enc = ct(chunk, max_length=dlen)
             if multimodal:
-                feat0 = np.asarray(next(iter(id2feat.values())), np.float32)
                 feats = np.stack([
-                    np.asarray(id2feat.get(d, np.zeros_like(feat0)), np.float32)
+                    np.asarray(id2feat.get(d, zero_feat), np.float32)
                     for d in cids
                 ])
                 e, m = self._doc_fn_mm(
@@ -402,15 +412,21 @@ class FLMRExecutor(BaseExecutor):
                     )
                 ids, scores = searcher.search(Q)
                 if source_searchers and "source_name" in batch:
-                    # overwrite rows whose source has a dedicated sub-index
+                    # overwrite rows whose source has a dedicated sub-index.
+                    # Each group is PADDED to the full batch size (repeat row
+                    # 0) so the jitted sub-searcher sees one static Q shape —
+                    # variable-length slices would recompile the full corpus
+                    # scan per distinct group size
+                    B_full = Q.shape[0]
                     by_src = {}
                     for qi, src in enumerate(batch["source_name"]):
                         if src in source_searchers:
                             by_src.setdefault(src, []).append(qi)
                     ids, scores = list(ids), np.array(scores)  # writable copy
                     for src, rows in by_src.items():
+                        padded = rows + [rows[0]] * (B_full - len(rows))
                         s_ids, s_scores = source_searchers[src].search(
-                            Q[jnp.asarray(rows)])
+                            Q[jnp.asarray(padded)])
                         for out_i, qi in enumerate(rows):
                             ids[qi] = s_ids[out_i]
                             k_src = min(scores.shape[1],

@@ -64,9 +64,10 @@ class RerankerExecutor(BaseExecutor):
         ce_cfg = BertConfig(**mc.get("cross_encoder", {"num_hidden_layers": 1}))
         loss_fn = mc.get("loss_fn", "BCE")
         pos_weight = mc.get("pos_weight")
-        if "weighted_regression" in self.modules:
+        if "weighted_regression" in self.modules and pos_weight is None:
             # reference `Reranker_base_executor.py:196-199`: weight the BCE
-            # positive class by the group size (1 pos : N negs)
+            # positive class by the group size (1 pos : N negs); an explicit
+            # pos_weight in the config wins over the flag's derived value
             pos_weight = float(self.num_negative_samples + 1)
 
         if "interaction_reranker" in self.modules:
@@ -566,7 +567,7 @@ class RerankerExecutor(BaseExecutor):
             self._val_loss_fn = _loss
 
         nway = self.num_negative_samples + 1
-        losses = []
+        loss_sum, weight_sum = 0.0, 0.0
         for name, loader in self.eval_dataloaders("valid").items():
             for bi, batch in enumerate(loader):
                 if limit and bi >= limit:
@@ -587,10 +588,15 @@ class RerankerExecutor(BaseExecutor):
                         or ("train_with_retrieved_docs" in self.modules
                             and "neg_sample_retrieved" not in self.modules)):
                     model_batch["labels"] = jnp.asarray(labels, jnp.float32)
-                losses.append(float(np.asarray(
-                    self._val_loss_fn(self.params, model_batch))))
+                loss = float(np.asarray(
+                    self._val_loss_fn(self.params, model_batch)))
+                # weight by the REAL row count so padding-duplicated tail
+                # rows don't bias the monitored valid/loss
+                real = batch.get("_real_count", len(batch["question_ids"]))
+                loss_sum += loss * real
+                weight_sum += real
         out = ConfigDict(metrics={}, artifacts={})
-        out.metrics["loss"] = float(np.mean(losses)) if losses else 0.0
+        out.metrics["loss"] = loss_sum / weight_sum if weight_sum else 0.0
         return out
 
     def evaluate(self, mode: str = "test") -> ConfigDict:
@@ -616,15 +622,21 @@ class RerankerExecutor(BaseExecutor):
         chunk_size = self.config.get_path("model_config.eval_chunk_size", 64)
         if "split_testing_batch" in self.modules:
             # reference `:838-919` halves OOM-ing test batches at runtime;
-            # here the static equivalent is a half-size scan chunk
+            # here the static equivalent is a half-size scan chunk (applies
+            # to the chunked full_context program — the other families run
+            # one [B·K] forward with no chunk knob)
             chunk_size = max(1, chunk_size // 2)
         if self.reranker_family == "full_context":
-            if self._rerank_fn is None:
+            # rebuild when the chunk geometry changed (e.g. a prior
+            # validation built the fn before split_testing_batch applied)
+            if self._rerank_fn is None or getattr(
+                    self, "_rerank_chunk", None) != chunk_size:
                 from ..engine import make_chunked_rerank_fn
 
                 self._rerank_fn = make_chunked_rerank_fn(
                     self.reranker, nway=K, chunk_size=chunk_size, mesh=self.mesh
                 )
+                self._rerank_chunk = chunk_size
             chunked = self._rerank_fn
 
             def fwd(params, model_batch):

@@ -54,9 +54,15 @@ class MicroBatcher:
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
-        self.batch_sizes: List[int] = []  # observability: realized batches
+        # observability: realized batch sizes (bounded — a long-running
+        # server must not grow host memory for stats)
+        from collections import deque
+
+        self.batch_sizes = deque(maxlen=4096)
 
     def submit(self, item: Any) -> "Future":
+        if self._stop.is_set():
+            raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
         self._q.put((item, fut))
         return fut
@@ -65,8 +71,16 @@ class MicroBatcher:
         return self.submit(item).result()
 
     def close(self):
+        """Stop the worker and FAIL any still-queued requests — in-flight
+        RPC handlers must error out, not hang."""
         self._stop.set()
         self._worker.join(timeout=5)
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            fut.set_exception(RuntimeError("MicroBatcher closed"))
 
     def _loop(self):
         while not self._stop.is_set():
@@ -89,11 +103,17 @@ class MicroBatcher:
             self.batch_sizes.append(len(items))
             try:
                 results = self.run_batch(items)
+                if len(results) != len(items):
+                    raise RuntimeError(
+                        f"run_batch returned {len(results)} results for "
+                        f"{len(items)} items"
+                    )
                 for f, r in zip(futs, results):
                     f.set_result(r)
-            except Exception as e:  # pragma: no cover - fan the error out
-                for f in futs:
-                    f.set_exception(e)
+            except Exception as e:  # fan the error out — never leave a
+                for f in futs:      # caller blocked on an unresolved future
+                    if not f.done():
+                        f.set_exception(e)
 
 
 class RerankService:

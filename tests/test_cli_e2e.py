@@ -265,3 +265,47 @@ def test_validation_indexing_source(tmp_path):
         for p in entry["top_ranking_passages"]:
             pnum = int(p["passage_id"][1:])
             assert pnum % 2 == by_src[src], (qid, p["passage_id"])
+
+
+def test_multimodal_docs_indexing(tmp_path):
+    """'multimodal_docs' (reference `FLMR_base_executor.py:703-715`): per-doc
+    image features prepend vision tokens during corpus indexing — the built
+    index must differ from the text-only one."""
+    import numpy as np
+
+    from reranking_multimodal_retrievers_tpu.utils.config_system import (
+        load_config,
+    )
+    from reranking_multimodal_retrievers_tpu.utils.registries import (
+        Executor_Registry,
+    )
+    import reranking_multimodal_retrievers_tpu.executors  # register
+
+    rc = main([
+        "--config", "configs/okvqa_flmr.json", "--mode", "prepare_data",
+        "--use_dummy_data", "--opts", *(_opts(tmp_path, "mm")),
+    ])
+    assert rc == 0
+    cfg = load_config("configs/okvqa_flmr.json")
+    cfg.meta.EXPERIMENT_FOLDER = f"{tmp_path}/experiments"
+    cfg.data_pipeline.cache_dir = f"{tmp_path}/cache"
+    ex = Executor_Registry["FLMRExecutor"](cfg, use_dummy_data=True)
+    plain = ex.build_index()
+
+    # attach per-passage vision features shaped for the config's vision tower
+    img = ex.model.config.vision_config.hidden_size
+    rng = np.random.default_rng(0)
+    ex.prepared_data["id2doc_image_features"] = {
+        pid: rng.normal(size=(img,)).astype(np.float32)
+        for pid in ex.id2doc
+    }
+    cfg.model_config.modules = list(
+        cfg.model_config.get("modules", [])) + ["multimodal_docs"]
+    mm = ex.build_index()
+    # vision tokens extend the doc representation: more valid tokens and
+    # different embeddings
+    assert mm.mask.sum() > plain.mask.sum()
+    assert mm.embeddings.shape != plain.embeddings.shape or not np.allclose(
+        np.asarray(mm.embeddings, np.float32),
+        np.asarray(plain.embeddings, np.float32),
+    )
