@@ -434,13 +434,17 @@ def main():
     # monoPreFLMR-B metric). Each is optional and individually fused.
     if os.environ.get("BENCH_SECONDARY", "1") == "1":
         for name, fn, a100, budget_s in (
-            ("pallas_maxsim_tflops", bench_maxsim_kernel, None, 600),
+            # budgets are generous: first-compile time varies wildly with
+            # the tunnel's remote compile service (60s warm, 10+ min after
+            # a far-end restart); the headline line is already flushed, so
+            # a driver kill mid-secondary loses nothing
+            ("pallas_maxsim_tflops", bench_maxsim_kernel, None, 1000),
             ("exact_retrieval_queries_per_sec_100k_corpus",
-             bench_retrieval, None, 600),
+             bench_retrieval, None, 1200),
             ("ModPreFLMR_BERT_interaction_rerank_candidates_per_sec",
-             bench_interaction, 100 / 0.24, 700),
+             bench_interaction, 100 / 0.24, 1500),
             ("monoBLIP2_FlanT5XL_rerank_candidates_per_sec",
-             bench_blip2_decoder, 100 / 9.52, 800),
+             bench_blip2_decoder, 100 / 9.52, 1800),
         ):
             if time.perf_counter() - t_start > budget_s:
                 print(f"{name} skipped: bench time budget", file=sys.stderr)
