@@ -153,3 +153,29 @@ def test_rerank_service_with_real_chunked_program():
         got = fut.result(timeout=60)
         np.testing.assert_allclose(got, want[q], atol=1e-4, rtol=1e-4)
     svc.close()
+
+
+def test_close_fails_pending_and_rejects_new():
+    """Shutdown must FAIL queued requests (not hang their callers) and
+    reject submissions after close."""
+    import queue as _q
+
+    release = threading.Event()
+
+    def run(items):
+        release.wait(timeout=5)
+        return [x for x in items]
+
+    mb = MicroBatcher(run, max_batch=1, max_wait_ms=1)
+    f1 = mb.submit(1)          # picked up by the worker, blocked in run()
+    time.sleep(0.1)
+    f2 = mb.submit(2)          # still queued
+    t = threading.Thread(target=mb.close)
+    t.start()
+    release.set()
+    t.join(timeout=10)
+    assert f1.result(timeout=5) == 1          # in-flight completes
+    with pytest.raises(RuntimeError):
+        f2.result(timeout=5)                  # queued request failed loudly
+    with pytest.raises(RuntimeError):
+        mb.submit(3)                          # post-close submit rejected
