@@ -131,13 +131,45 @@ class IndexPassagesWithElasticSearch(HFDatasetTransform):
         }
 
 
+def token_set_ratio(a: str, b: str) -> int:
+    """thefuzz ``token_set_ratio`` semantics (the reference's candidate
+    rater, `wikipedia_data_ops.py:396-440`): compare the sorted-token
+    intersection against each side's remainder strings and take the best
+    SequenceMatcher ratio, as an integer percentage."""
+    from difflib import SequenceMatcher
+
+    ta = set(a.lower().split())
+    tb = set(b.lower().split())
+    inter = " ".join(sorted(ta & tb))
+    s1 = (inter + " " + " ".join(sorted(ta - tb))).strip()
+    s2 = (inter + " " + " ".join(sorted(tb - ta))).strip()
+    best = 0
+    for x, y in ((inter, s1), (inter, s2), (s1, s2)):
+        if x or y:
+            best = max(best, int(round(100 * SequenceMatcher(None, x, y).ratio())))
+    return best
+
+
 @register_transform_functor
 class PrepareWikipediaPassageAnnotations(HFDatasetTransform):
-    """Mine pseudo-positives: BM25-retrieve per question, keep passages whose
-    content contains an answer (reference `:312-540`)."""
+    """Mine pseudo-positives (reference `:312-540`), faithfully:
 
-    def setup(self, k: int = 20, **kwargs):
+    1. per question, per UNIQUE answer: lexical-search the corpus and keep
+       passages that actually contain the answer phrase (the ES
+       ``multi_match``-phrase role, `:366-377`);
+    2. rate every candidate with ``token_set_ratio`` against a query string
+       of ``gold_answer ×2 + question + caption + object classes``
+       (`:425-440`);
+    3. keep the top-10 and drop everything tied with the lowest score
+       (`:442-448`);
+    4. ``pos_item_ids`` = survivors, ``related_item_ids`` = all candidates,
+       ``pos_item_contents`` alongside; questions with no candidates are
+       SKIPPED in train mode but kept with dummy ``["1"]`` annotations in
+       test mode (`:464-493`)."""
+
+    def setup(self, k: int = 20, mode: str = "train", **kwargs):
         self.k = k
+        self.mode = mode
         return self
 
     def _call(self, inputs):
@@ -145,21 +177,65 @@ class PrepareWikipediaPassageAnnotations(HFDatasetTransform):
         assert indexed is not None, "requires [questions, indexed_passages] inputs"
         index: BM25Index = indexed["index"]
         pids = indexed["passage_ids"]
-        contents = index.doc_tokens
+        contents = [" ".join(toks) for toks in index.doc_tokens]
+
+        def candidates_for(answers):
+            """Answer-phrase candidate generation (ES phrase-search role)."""
+            cand = {}
+            for ans in set(a.lower() for a in answers if a):
+                for i in index.search(ans, self.k):
+                    if ans in contents[i]:
+                        cand[i] = contents[i]
+            return cand
 
         def annotate(example):
-            hits = index.search(example["question"], self.k)
-            answers = [a.lower() for a in example.get("answers", [])]
-            pos = [
-                pids[i]
-                for i in hits
-                if any(a in " ".join(contents[i]) for a in answers)
-            ]
-            example["pos_item_ids"] = pos or [pids[hits[0]]] if hits else []
+            answers = example.get("answers", [])
+            cand = candidates_for(answers)
+            gold = example.get("gold_answer", "") or (answers[0] if answers else "")
+            query = f"{gold} {gold} {example.get('question', '')}"
+            if example.get("img_caption"):
+                cap = example["img_caption"]
+                query += f" {cap['caption'] if isinstance(cap, dict) else cap}"
+            for obj in example.get("objects", []) or []:
+                cls = obj.get("class") if isinstance(obj, dict) else str(obj)
+                if cls:
+                    query += f" {cls.strip().lower()}"
+            rated = sorted(
+                ((token_set_ratio(query, text), i) for i, text in cand.items()),
+                reverse=True,
+            )[:10]
+            if rated:
+                lowest = rated[-1][0]
+                survivors = [i for score, i in rated if score > lowest]
+            else:
+                survivors = []
+            if not cand or not survivors:
+                # train: drop the row; test: keep with dummy annotations so
+                # every sample is evaluated (`:464-493`)
+                example["pos_item_ids"] = ["1"]
+                example["pos_item_contents"] = [""]
+                example["related_item_ids"] = ["1"]
+                example["_annotation_missing"] = True
+                return example
+            example["pos_item_ids"] = [pids[i] for i in survivors]
+            example["pos_item_contents"] = [contents[i] for i in survivors]
+            example["related_item_ids"] = [pids[i] for i in cand]
+            example["_annotation_missing"] = False
             return example
 
         for split in [s for s in data.keys() if not s.endswith("_passages")]:
             data[split] = data[split].map(annotate, load_from_cache_file=False)
+            if self.mode == "train" and split == "train":
+                n0 = len(data[split])
+                data[split] = data[split].filter(
+                    lambda ex: not ex["_annotation_missing"],
+                    load_from_cache_file=False,
+                )
+                dropped = n0 - len(data[split])
+                if dropped:
+                    logger.warning(
+                        "%d train questions had no pseudo-annotations and "
+                        "were dropped", dropped)
         for key in indexed["passages"].keys():
             if key.endswith("_passages"):
                 data[key] = indexed["passages"][key]

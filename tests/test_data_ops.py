@@ -155,3 +155,59 @@ def test_loader_pad_last_and_determinism(tmp_path):
     dl2.set_epoch(1)
     order3 = [b["x"].ravel().tolist() for b in dl2]
     assert order1 != order3
+
+
+def test_wikipedia_pseudo_annotation_mining():
+    """PrepareWikipediaPassageAnnotations (reference
+    `wikipedia_data_ops.py:312-540`): answer-phrase candidates, token_set
+    rating against gold+question+caption+objects, lowest-tie drop, and the
+    train-drop / test-dummy missing handling."""
+    import datasets as hfds
+
+    from reranking_multimodal_retrievers_tpu.data.ops.wikipedia_ops import (
+        BM25Index, PrepareWikipediaPassageAnnotations, token_set_ratio,
+    )
+
+    passages = hfds.Dataset.from_dict({
+        "passage_id": ["p0", "p1", "p2", "p3"],
+        "passage_content": [
+            "the eiffel tower stands in paris france",   # contains 'paris'
+            "paris is the capital of france",            # contains 'paris'
+            "rome is the capital of italy",
+            "unrelated text about cooking pasta",
+        ],
+    })
+    rows = hfds.Dataset.from_dict({
+        "question_id": ["q0", "q1"],
+        "question": ["what city is the eiffel tower in", "what is xyzzy"],
+        "answers": [["paris"], ["xyzzy"]],
+        "gold_answer": ["paris", "xyzzy"],
+        "img_caption": ["a photo of the eiffel tower", ""],
+        "objects": [[{"class": "tower"}], []],
+    })
+    data = hfds.DatasetDict({"train": rows, "test": rows})
+    index = BM25Index(list(passages["passage_content"]))
+    indexed = {"index": index, "passage_ids": list(passages["passage_id"]),
+               "passages": {"train_passages": passages}}
+
+    fn = PrepareWikipediaPassageAnnotations(use_dummy_data=False,
+                                            global_config={})
+    fn.setup(k=4, mode="train")
+    out = fn._call([data, indexed])
+
+    # q1 ('xyzzy') has no candidates: dropped from train, dummy in test
+    assert len(out["train"]) == 1 and len(out["test"]) == 2
+    test_rows = {r["question_id"]: r for r in out["test"]}
+    assert test_rows["q1"]["pos_item_ids"] == ["1"]
+    assert test_rows["q1"]["_annotation_missing"]
+
+    # q0: both paris passages are candidates; the eiffel-tower passage rates
+    # higher against gold+question+caption and survives the lowest-tie drop
+    q0 = test_rows["q0"]
+    assert set(q0["related_item_ids"]) == {"p0", "p1"}
+    assert q0["pos_item_ids"] == ["p0"]
+    assert q0["pos_item_contents"][0].startswith("the eiffel tower")
+
+    # the rater follows thefuzz token_set_ratio semantics
+    assert token_set_ratio("a b c", "a b c") == 100
+    assert token_set_ratio("a b c", "c b a d") > token_set_ratio("a b c", "x y z")
