@@ -99,6 +99,12 @@ class BaseDataset(ModuleParser):
         if any("source_name" in s for s in samples):
             # multi-source M2KR: feeds validation_indexing_source routing
             batch["source_name"] = [s.get("source_name", "") for s in samples]
+        if any("wikidata_ranges" in s for s in samples):
+            # Infoseek numeric-answer ranges — feed
+            # compute_exact_match_with_numeric_values
+            batch["wikidata_ranges"] = [
+                s.get("wikidata_ranges") for s in samples
+            ]
         return batch
 
 

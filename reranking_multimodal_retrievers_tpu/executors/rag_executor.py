@@ -376,6 +376,11 @@ class RagExecutor(RerankerExecutor):
                         "doc_scores": doc_scores,
                         "retrieved_docs": docs,
                         "answers": batch.get("answers", [[]])[qi],
+                        # Infoseek numeric-answer range (reference
+                        # `RAG_BLIP_executor.py:643`)
+                        "numeric_range": (
+                            batch.get("wikidata_ranges", [None] * real)[qi]
+                        ),
                     })
         data_dict = {
             "predictions": [r["prediction"] for r in results],
@@ -387,6 +392,7 @@ class RagExecutor(RerankerExecutor):
                 [r["per_doc_predictions"] for r in results],
             "batch_loss_with_doc_scores":
                 [r["loss_with_doc_scores"] for r in results],
+            "batch_numeric_ranges": [r["numeric_range"] for r in results],
             "batch_predictions": [
                 {"question_id": r["question_id"], "answer": r["prediction"]}
                 for r in results
