@@ -225,7 +225,11 @@ class PrepareWikipediaPassageAnnotations(HFDatasetTransform):
 
         for split in [s for s in data.keys() if not s.endswith("_passages")]:
             data[split] = data[split].map(annotate, load_from_cache_file=False)
-            if self.mode == "train" and split == "train":
+            # In train mode the reference drops missing-annotation rows from
+            # EVERY split (`wikipedia_data_ops.py` annotate loop `continue`),
+            # not just 'train' — otherwise dummy pos_item_ids=["1"] rows leak
+            # into valid/test under train mode.
+            if self.mode == "train":
                 n0 = len(data[split])
                 data[split] = data[split].filter(
                     lambda ex: not ex["_annotation_missing"],

@@ -208,7 +208,9 @@ class Ranking:
             out[str(qid)] = [
                 {
                     "passage_id": pid,
-                    "score": (rest[-1] if rest else None),
+                    # rest is (rank,) or (rank, score): only report a score
+                    # when a real score column exists — never the rank.
+                    "score": (rest[-1] if len(rest) > 1 else None),
                     **({"content": id2content[pid]} if id2content and pid in id2content else {}),
                 }
                 for pid, *rest in rows

@@ -86,11 +86,14 @@ class EngineConfig:
     ndocs: Optional[int] = None
 
     def __post_init__(self):
+        self._auto_name = not self.name
         if not self.name:
             self.name = _timestamp(daydir=True)
         # NOTE: _explicit is set only by .make(); a plain EngineConfig(...)
         # has no _explicit attr, so from_existing treats ALL of its fields
-        # as explicit (the natural constructor semantics)
+        # as explicit (the natural constructor semantics) — EXCEPT the
+        # auto-timestamped name, which must not clobber an enclosing Run
+        # context's name during merges.
 
     @classmethod
     def make(cls, **kwargs) -> "EngineConfig":
@@ -109,11 +112,12 @@ class EngineConfig:
             if src is None:
                 continue
             explicit = getattr(src, "_explicit", None)
-            names = (
-                explicit
-                if explicit is not None
-                else {f.name for f in dataclasses.fields(src)}
-            )
+            if explicit is not None:
+                names = explicit
+            else:
+                names = {f.name for f in dataclasses.fields(src)}
+                if getattr(src, "_auto_name", False):
+                    names = names - {"name"}
             for n in names:
                 out[n] = getattr(src, n)
         return cls.make(**out)

@@ -52,6 +52,10 @@ class MicroBatcher:
         self.max_wait_s = max_wait_ms / 1e3
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        # Serializes the stop-check + enqueue in submit() against close()'s
+        # stop-set + drain: without it a submit racing close() could enqueue
+        # after the drain and leave its Future unresolved forever.
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
         # observability: realized batch sizes (bounded — a long-running
@@ -61,10 +65,11 @@ class MicroBatcher:
         self.batch_sizes = deque(maxlen=4096)
 
     def submit(self, item: Any) -> "Future":
-        if self._stop.is_set():
-            raise RuntimeError("MicroBatcher is closed")
-        fut: Future = Future()
-        self._q.put((item, fut))
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("MicroBatcher is closed")
+            fut: Future = Future()
+            self._q.put((item, fut))
         return fut
 
     def __call__(self, item: Any) -> Any:
@@ -73,7 +78,8 @@ class MicroBatcher:
     def close(self):
         """Stop the worker and FAIL any still-queued requests — in-flight
         RPC handlers must error out, not hang."""
-        self._stop.set()
+        with self._submit_lock:
+            self._stop.set()
         self._worker.join(timeout=5)
         while True:
             try:
@@ -147,10 +153,17 @@ class RerankService:
 
         n = len(items)
         B = self.max_batch  # static geometry: always pad to the full batch
+        # A coalesced group may mix requests with and without the optional
+        # inputs (token_type_ids / pixel_values). The device program has ONE
+        # static signature, so per-item absences are zero-filled rather than
+        # inferred from items[0] — a mixed group must not crash or silently
+        # adopt the first item's convention.
         ids = np.concatenate([it[0] for it in items])
         am = np.concatenate([it[1] for it in items])
-        tt = (np.concatenate([it[2] for it in items])
-              if items[0][2] is not None else np.zeros_like(ids))
+        tt = np.concatenate([
+            it[2] if it[2] is not None else np.zeros_like(it[0])
+            for it in items
+        ])
         pad_rows = (B - n) * self.nway
         if pad_rows:
             ids = np.concatenate([ids, np.zeros((pad_rows,) + ids.shape[1:],
@@ -160,8 +173,18 @@ class RerankService:
             tt = np.concatenate([tt, np.zeros((pad_rows,) + tt.shape[1:],
                                               tt.dtype)])
         pix = None
-        if items[0][3] is not None:
-            pix = np.stack([it[3] for it in items])
+        pix_items = [it[3] for it in items if it[3] is not None]
+        if pix_items:
+            shapes = {p.shape for p in pix_items}
+            if len(shapes) > 1:
+                raise ValueError(
+                    f"mixed pixel_values shapes in one batch group: {shapes}")
+            proto = pix_items[0]
+            pix = np.stack([
+                it[3] if it[3] is not None
+                else np.zeros(proto.shape, proto.dtype)
+                for it in items
+            ])
             if pad_rows:
                 pix = np.concatenate(
                     [pix, np.zeros((B - n,) + pix.shape[1:], pix.dtype)])

@@ -195,9 +195,19 @@ def test_wikipedia_pseudo_annotation_mining():
     fn.setup(k=4, mode="train")
     out = fn._call([data, indexed])
 
-    # q1 ('xyzzy') has no candidates: dropped from train, dummy in test
-    assert len(out["train"]) == 1 and len(out["test"]) == 2
-    test_rows = {r["question_id"]: r for r in out["test"]}
+    # q1 ('xyzzy') has no candidates: train mode drops missing rows from
+    # EVERY split (reference annotate-loop `continue` applies to all splits
+    # under mode=='train')
+    assert len(out["train"]) == 1 and len(out["test"]) == 1
+
+    # test mode keeps missing rows with dummy annotations in every split
+    fn_test = PrepareWikipediaPassageAnnotations(use_dummy_data=False,
+                                                 global_config={})
+    fn_test.setup(k=4, mode="test")
+    out_test = fn_test._call(
+        [hfds.DatasetDict({"train": rows, "test": rows}), indexed])
+    assert len(out_test["test"]) == 2
+    test_rows = {r["question_id"]: r for r in out_test["test"]}
     assert test_rows["q1"]["pos_item_ids"] == ["1"]
     assert test_rows["q1"]["_annotation_missing"]
 

@@ -199,3 +199,15 @@ def test_queries_collection_ranking_roundtrip(tmp_path):
     static = r.to_static_retrieval(id2content={"P0": "the red fox"})
     assert static["1"][0]["passage_id"] == "P0"
     assert static["1"][0]["content"] == "the red fox"
+
+
+def test_static_retrieval_rank_only_has_no_score():
+    """ADVICE r1: rankings loaded without a score column must report
+    score=None, not silently surface the rank as the score."""
+    from reranking_multimodal_retrievers_tpu.engine.data import Ranking
+
+    r = Ranking(data=[(1, "P0", 0), (1, "P1", 1)])
+    static = r.to_static_retrieval()
+    assert static["1"][0]["score"] is None
+    r2 = Ranking(data=[(1, "P0", 0, 17.5)])
+    assert r2.to_static_retrieval()["1"][0]["score"] == 17.5

@@ -94,3 +94,15 @@ def test_plain_constructor_counts_as_fully_explicit():
     run = Run()
     with run.context(EngineConfig(nway=6, root="r", experiment="e", name="n")):
         assert run.config.nway == 6 and run.config.experiment == "e"
+
+
+def test_plain_config_auto_name_does_not_clobber_on_merge():
+    """ADVICE r1: a default-constructed EngineConfig's auto-timestamped name
+    must not overwrite an explicit name during from_existing merges."""
+    base = EngineConfig.make(name="keep-me", doc_maxlen=300)
+    merged = EngineConfig.from_existing(base, EngineConfig(nway=8))
+    assert merged.name == "keep-me"
+    assert merged.nway == 8
+    # an EXPLICIT name on a plain config still wins
+    merged2 = EngineConfig.from_existing(base, EngineConfig(name="new"))
+    assert merged2.name == "new"

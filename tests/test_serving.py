@@ -179,3 +179,77 @@ def test_close_fails_pending_and_rejects_new():
         f2.result(timeout=5)                  # queued request failed loudly
     with pytest.raises(RuntimeError):
         mb.submit(3)                          # post-close submit rejected
+
+
+def test_rerank_service_mixed_optional_inputs():
+    """A coalesced group mixing requests with and without token_type_ids /
+    pixel_values must zero-fill per item, not crash or adopt items[0]'s
+    convention (ADVICE r1)."""
+    K, L, B = 2, 4, 4
+    captured = {}
+
+    def rerank_fn(params, ids, am, tt, pix):
+        captured["tt"] = np.asarray(tt)
+        captured["pix"] = None if pix is None else np.asarray(pix)
+        return jnp.zeros((B * K,), jnp.float32)
+
+    svc = RerankService(rerank_fn, params={}, nway=K, max_batch=B,
+                        max_wait_ms=100)
+    ids = np.ones((K, L), np.int32)
+    am = np.ones((K, L), np.int32)
+    tt = np.full((K, L), 7, np.int32)
+    pix = np.ones((3, 8, 8), np.float32)
+    # first item HAS both optionals, second has NEITHER — items[0]-based
+    # inference would zero-fill nothing / crash on np.stack(None)
+    f1 = svc.rerank(ids, am, token_type_ids=tt, pixel_values=pix)
+    f2 = svc.rerank(ids * 2, am)
+    f1.result(timeout=5), f2.result(timeout=5)
+    svc.close()
+    assert captured["tt"][:K].max() == 7          # item 1's tt kept
+    assert captured["tt"][K:2 * K].max() == 0     # item 2 zero-filled
+    assert captured["pix"] is not None
+    assert captured["pix"][0].max() == 1.0 and captured["pix"][1].max() == 0.0
+
+    # heterogeneous pixel SHAPES are a hard error, not silent corruption
+    def rerank_fn2(params, ids, am, tt, pix):
+        return jnp.zeros((B * K,), jnp.float32)
+
+    svc2 = RerankService(rerank_fn2, params={}, nway=K, max_batch=B,
+                         max_wait_ms=100)
+    g1 = svc2.rerank(ids, am, pixel_values=np.ones((3, 8, 8), np.float32))
+    g2 = svc2.rerank(ids, am, pixel_values=np.ones((3, 4, 4), np.float32))
+    with pytest.raises(ValueError):
+        g1.result(timeout=5)
+    with pytest.raises(ValueError):
+        g2.result(timeout=5)
+    svc2.close()
+
+
+def test_submit_close_race_never_leaves_unresolved_future():
+    """Stress the submit()/close() TOCTOU (ADVICE r1): every submit must
+    either raise 'closed' or get a resolved/failed future — no hangs."""
+    for _ in range(20):
+        mb = MicroBatcher(lambda items: [x for x in items], max_batch=4,
+                          max_wait_ms=1)
+        outcomes = []
+
+        def client():
+            try:
+                f = mb.submit(1)
+            except RuntimeError:
+                outcomes.append("rejected")
+                return
+            try:
+                f.result(timeout=5)
+                outcomes.append("ok")
+            except Exception:
+                outcomes.append("failed")
+
+        threads = [threading.Thread(target=client) for _ in range(8)]
+        for t in threads:
+            t.start()
+        mb.close()
+        for t in threads:
+            t.join(timeout=10)
+            assert not t.is_alive(), "client hung on unresolved future"
+        assert len(outcomes) == 8
