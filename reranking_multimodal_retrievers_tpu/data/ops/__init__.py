@@ -2,6 +2,8 @@
 (the reference's `src/data_ops/*` role)."""
 
 from . import common  # noqa: F401
+from . import generic  # noqa: F401
+from . import synthetic_ops  # noqa: F401
 from . import m2kr_ops  # noqa: F401
 from . import okvqa_ops  # noqa: F401
 from . import wikipedia_ops  # noqa: F401

@@ -93,6 +93,13 @@ class DataPipeline:
         return output
 
     # ------------------------------------------------------------------- api
+    def reset(self) -> None:
+        """Clear the in-memory node cache so every transform re-runs
+        (reference ``DataPipeline.reset`` used before each eval-pipeline run,
+        `base_executor.py:346-348`). Disk caches are untouched — eval
+        pipelines set ``cache: false`` on their nodes."""
+        self.output_data = {}
+
     def apply_transforms(self) -> Dict[str, Any]:
         """Execute every ``output:*`` node (reference `:171-176`)."""
         outs = {}
@@ -101,8 +108,16 @@ class DataPipeline:
                 outs[node_id] = self._exec_node(node_id)
         return outs
 
-    def get_data(self, node_ids: List[str], explode: bool = False):
-        """Execute the requested nodes (reference `:178-185`)."""
+    def get_data(self, node_ids: List[str], explode: bool = False,
+                 input_data_dict: Optional[Dict[str, Any]] = None):
+        """Execute the requested nodes (reference `:178-185`).
+
+        ``input_data_dict`` pre-seeds named nodes with in-memory values —
+        the executor hands its live EvalRecorder to the eval pipeline's
+        ``input:GetEvaluationRecorder`` node this way (reference
+        `base_executor.py:348-350`)."""
+        if input_data_dict:
+            self.output_data.update(input_data_dict)
         results = {n: self._exec_node(n) for n in node_ids}
         if explode:
             assert len(node_ids) == 1

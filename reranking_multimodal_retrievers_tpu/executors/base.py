@@ -159,7 +159,9 @@ class BaseExecutor(MetricsProcessor):
                 self.save_checkpoint()
                 continue
             if (epoch + 1) % val_interval_epochs == 0 and self.data_loaders.get("valid"):
+                self.on_eval_start("valid")
                 val_metrics = self.evaluate("valid")
+                self.on_eval_end("valid", val_metrics)
                 self.log_metrics({f"valid/{k}": v for k, v in val_metrics.metrics.items()})
                 self.save_checkpoint(val_metrics.metrics)
         if not self.data_loaders.get("valid"):
@@ -174,9 +176,71 @@ class BaseExecutor(MetricsProcessor):
         ckpt = self.ckpt_manager.resolve(load_path)
         if ckpt:
             self.load_checkpoint(ckpt)
+        self.on_eval_start("test")
         results = self.evaluate("test")
+        self.on_eval_end("test", results)
         self.logging_results(results, prefix="test")
         return results
+
+    # --------------------------------------------- EvalRecorder lifecycle
+    def on_eval_start(self, mode: str):
+        """Open a fresh EvalRecorder for this eval pass (reference
+        `base_executor.py:335-357`: ``validation-{cnt}-{step}`` per valid
+        run, ``test-evaluation`` for tests)."""
+        if mode == "valid":
+            self.valid_cnt = getattr(self, "valid_cnt", 0) + 1
+            name = f"validation-{self.valid_cnt}-{self.global_step}"
+        else:
+            name = f"{mode}-evaluation"
+        self.eval_recorder = EvalRecorder(name=name, base_dir=self.experiment_dir)
+        self.eval_recorder.meta.update({"mode": mode, "global_step": self.global_step})
+        return self.eval_recorder
+
+    def record_sample(self, sample: Dict[str, Any]):
+        """Per-sample hook executors call during evaluate(); rows land in the
+        live recorder and flow into the configured eval pipeline."""
+        if getattr(self, "eval_recorder", None) is not None:
+            self.eval_recorder.log_sample_dict(sample)
+
+    def on_eval_end(self, mode: str, results: Optional[ConfigDict] = None):
+        """Save the recorder and run the configured eval pipeline over it
+        (reference `base_executor.py:341-352`: save json → reset pipeline →
+        ``get_data(out_ops, input_data_dict={'input:GetEvaluationRecorder':
+        recorder})`` → rename + save the post-pipeline recorder)."""
+        rec = getattr(self, "eval_recorder", None)
+        if rec is None:
+            return None
+        # executors that did not log per-sample rows: populate the recorder
+        # from the evaluation results so the pipeline always has data
+        if len(rec) == 0 and results is not None:
+            for row in results.get("batch_retrieval_result", []) or []:
+                rec.log_sample_dict(dict(row))
+        if results is not None and results.get("metrics"):
+            rec.log_stats_dict({k: _to_float(v)
+                                for k, v in results.metrics.items()})
+        rec.save_to_disk(file_format="json")
+        rec_name = rec.name
+
+        ep_cfg = (self.config.get_path(f"{mode}.eval_pipeline")
+                  or self.config.get_path("eval_pipeline"))
+        if not ep_cfg:
+            return rec
+        pipeline = DataPipeline(
+            ep_cfg, use_dummy_data=self.use_dummy_data,
+            global_config=self.config,
+        )
+        pipeline.reset()  # every eval pass re-runs all transforms
+        out_ops = list(ep_cfg.get("out_ops", []) or [
+            n for n in ep_cfg.get("transforms", {}) if n.startswith("output:")
+        ])
+        out = pipeline.get_data(
+            out_ops, explode=(len(out_ops) == 1),
+            input_data_dict={"input:GetEvaluationRecorder": rec},
+        )
+        if isinstance(out, EvalRecorder):
+            out.rename(f"{rec_name}-after_eval_pipeline")
+            out.save_to_disk(file_format="json")
+        return out
 
     # ----------------------------------------------------- logging/ckpt
     def log_metrics(self, metrics: Dict[str, Any]):
