@@ -1,6 +1,7 @@
 from .bert import BertConfig, BertModel, BertEncoder
 from .vit import CLIPVisionConfig, CLIPVisionModel
 from .flmr import FLMRConfig, FLMRModelForRetrieval, FLMRQueryOutput, FLMRContextOutput
+from .opt import OPTConfig, OPTForCausalLM
 from .t5 import T5Config, T5ForConditionalGeneration
 from .blip2 import (
     Blip2Config,
@@ -10,6 +11,8 @@ from .blip2 import (
 )
 
 __all__ = [
+    "OPTConfig",
+    "OPTForCausalLM",
     "T5Config",
     "T5ForConditionalGeneration",
     "Blip2Config",

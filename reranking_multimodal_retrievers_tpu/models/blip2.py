@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .bert import additive_mask
+from .opt import OPTConfig, OPTForCausalLM
 from .t5 import T5Config, T5ForConditionalGeneration
 
 
@@ -83,10 +84,20 @@ class Blip2QFormerConfig:
 
 @dataclasses.dataclass(frozen=True)
 class Blip2Config:
+    """``text_config`` selects the LM family: a :class:`~.t5.T5Config`
+    (``blip2-flan-t5-*``) or an :class:`~.opt.OPTConfig` (``blip2-opt-*`` —
+    the reference's best reranker backbone,
+    `monoBLIP2-Opt_pointwise.jsonnet:115`)."""
+
     vision_config: Blip2VisionConfig = dataclasses.field(default_factory=Blip2VisionConfig)
     qformer_config: Blip2QFormerConfig = dataclasses.field(default_factory=Blip2QFormerConfig)
     text_config: T5Config = dataclasses.field(default_factory=T5Config)
     num_query_tokens: int = 32
+
+    @property
+    def use_decoder_only_language_model(self) -> bool:
+        """HF ``Blip2Config.use_decoder_only_language_model`` role."""
+        return isinstance(self.text_config, OPTConfig)
 
     @classmethod
     def tiny(cls, **kw):
@@ -94,6 +105,17 @@ class Blip2Config:
             vision_config=Blip2VisionConfig.tiny(),
             qformer_config=Blip2QFormerConfig.tiny(),
             text_config=T5Config.tiny(),
+            num_query_tokens=4,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+    @classmethod
+    def tiny_opt(cls, **kw):
+        defaults = dict(
+            vision_config=Blip2VisionConfig.tiny(),
+            qformer_config=Blip2QFormerConfig.tiny(),
+            text_config=OPTConfig.tiny(),
             num_query_tokens=4,
         )
         defaults.update(kw)
@@ -231,12 +253,26 @@ class Blip2ForConditionalGeneration(nn.Module):
         self.qformer = Blip2QFormer(
             cfg.qformer_config, num_query_tokens=cfg.num_query_tokens, name="qformer"
         )
-        self.language_projection = nn.Dense(
-            cfg.text_config.d_model, name="language_projection"
-        )
-        self.language_model = T5ForConditionalGeneration(
-            cfg.text_config, name="language_model"
-        )
+        if cfg.use_decoder_only_language_model:
+            # HF projects the Q-Former output into the LM hidden size and
+            # prepends it to the text embeddings; our OPT applies project_in
+            # to inputs_embeds, so the Blip2+OPT path requires
+            # embed_dim == hidden_size (true for blip2-opt-2.7b/6.7b)
+            assert cfg.text_config.embed_dim == cfg.text_config.hidden_size, (
+                "Blip2+OPT requires word_embed_proj_dim == hidden_size")
+            self.language_projection = nn.Dense(
+                cfg.text_config.hidden_size, name="language_projection"
+            )
+            self.language_model = OPTForCausalLM(
+                cfg.text_config, name="language_model"
+            )
+        else:
+            self.language_projection = nn.Dense(
+                cfg.text_config.d_model, name="language_projection"
+            )
+            self.language_model = T5ForConditionalGeneration(
+                cfg.text_config, name="language_model"
+            )
 
     def vision_prefix(self, pixel_values):
         """[B, num_query_tokens, d_model] projected Q-Former outputs."""
@@ -265,6 +301,33 @@ class Blip2ForConditionalGeneration(nn.Module):
             inputs_embeds = text_embeds
         enc = lm.encode(inputs_embeds=inputs_embeds, attention_mask=attention_mask)
         return enc, attention_mask
+
+    def causal_lm_logits(self, input_ids, attention_mask,
+                         pixel_values=None, vision_prefix=None):
+        """Decoder-only (OPT) path: full-sequence logits over
+        [vision prefix ; prompt] plus the combined attention mask — the HF
+        ``use_decoder_only_language_model`` branch of
+        ``Blip2ForConditionalGeneration.forward``
+        (`modeling_blip_2.py:1437-1456`). Returns ``(logits, hidden,
+        full_mask)``; position ``prefix_len + n_real - 1`` predicts the token
+        after the prompt (the yes/no score position for the monoBLIP2-Opt
+        reranker; the head variant reads ``hidden`` there)."""
+        assert self.config.use_decoder_only_language_model
+        lm = self.language_model
+        text_embeds = lm.embed_tokens(input_ids)
+        if vision_prefix is None and pixel_values is not None:
+            vision_prefix = self.vision_prefix(pixel_values)
+        if vision_prefix is not None:
+            inputs_embeds = jnp.concatenate(
+                [vision_prefix.astype(text_embeds.dtype), text_embeds], axis=1
+            )
+            prefix_mask = jnp.ones(vision_prefix.shape[:2], attention_mask.dtype)
+            attention_mask = jnp.concatenate([prefix_mask, attention_mask], axis=1)
+        else:
+            inputs_embeds = text_embeds
+        logits, hidden = lm(inputs_embeds=inputs_embeds,
+                            attention_mask=attention_mask)
+        return logits, hidden, attention_mask
 
     def decode_logits(self, decoder_input_ids, enc_states, enc_attention_mask):
         """Per-position decoder logits over a fixed-length token buffer — the

@@ -249,6 +249,66 @@ def t5_params(sd: Dict[str, np.ndarray], config) -> dict:
     return p
 
 
+def _opt_linear(sd, torch_name, lora_r: int = 0):
+    """OPT linears carry biases; with LoRA the kernel+bias nest under
+    ``base`` and fresh zero adapters are synthesized (peft init — bridged
+    outputs equal the pretrained torch model)."""
+    p = _linear(sd, torch_name)
+    if lora_r <= 0:
+        return p
+    w = sd[f"{torch_name}.weight"]  # torch [out, in]
+    rng = np.random.default_rng(abs(hash(torch_name)) % (2**32))
+    return {
+        "base": p,
+        "lora_a": rng.normal(0, 1e-2, size=(w.shape[1], lora_r)).astype(w.dtype),
+        "lora_b": np.zeros((lora_r, w.shape[0]), w.dtype),
+    }
+
+
+def opt_params(sd: Dict[str, np.ndarray], config) -> dict:
+    """HF ``OPTForCausalLM`` state dict → our :class:`~.opt.OPTForCausalLM`
+    params. ``config`` is our :class:`~.opt.OPTConfig`; ``lora_r > 0`` nests
+    the q/v kernels under LoRA bases (peft's default OPT targets,
+    `decoder_rerank_model.py:103-114`). The lm_head is tied to
+    ``embed_tokens`` (HF OPT), so no separate head weights are bridged."""
+    dec = _strip_prefix(sd, "model.decoder.")
+    if not dec:  # already decoder-level (e.g. OPTModel.decoder)
+        dec = sd
+    layer_ids = sorted(
+        {
+            int(m.group(1))
+            for k in dec
+            if (m := re.match(r"layers\.(\d+)\.", k))
+        }
+    )
+    p = {
+        "embed_tokens": _embed(dec, "embed_tokens"),
+        "embed_positions": _embed(dec, "embed_positions"),
+    }
+    if "final_layer_norm.weight" in dec:
+        p["final_layer_norm"] = _layernorm(dec, "final_layer_norm")
+    if "project_in.weight" in dec:
+        p["project_in"] = _linear(dec, "project_in")
+        p["project_out"] = _linear(dec, "project_out")
+    for i in layer_ids:
+        pre = f"layers.{i}"
+        p[f"layer_{i}"] = {
+            "self_attn": {
+                "q_proj": _opt_linear(dec, f"{pre}.self_attn.q_proj",
+                                      config.lora_r),
+                "k_proj": _linear(dec, f"{pre}.self_attn.k_proj"),
+                "v_proj": _opt_linear(dec, f"{pre}.self_attn.v_proj",
+                                      config.lora_r),
+                "out_proj": _linear(dec, f"{pre}.self_attn.out_proj"),
+            },
+            "self_attn_layer_norm": _layernorm(dec, f"{pre}.self_attn_layer_norm"),
+            "final_layer_norm": _layernorm(dec, f"{pre}.final_layer_norm"),
+            "fc1": _linear(dec, f"{pre}.fc1"),
+            "fc2": _linear(dec, f"{pre}.fc2"),
+        }
+    return p
+
+
 def blip2_vision_params(sd: Dict[str, np.ndarray]) -> dict:
     """HF ``Blip2VisionModel`` state dict (``vision_model.*`` stripped) → our
     ``Blip2VisionModel`` params. Conv kernel OIHW → HWIO; class/position
@@ -325,17 +385,25 @@ def blip2_qformer_params(sd: Dict[str, np.ndarray], query_tokens: np.ndarray) ->
 
 def blip2_params(sd: Dict[str, np.ndarray], config) -> dict:
     """HF ``Blip2ForConditionalGeneration`` state dict → our Flax params.
-    ``config`` is our :class:`~.blip2.Blip2Config`; the LM must be a T5
-    (Flan-T5 per the reference configs, `decoder_rerank_model.py:89-96`)."""
+    ``config`` is our :class:`~.blip2.Blip2Config`; the LM is a T5 (Flan-T5,
+    `decoder_rerank_model.py:89-96`) or an OPT (``blip2-opt-*``, the
+    reference's best reranker, `monoBLIP2-Opt_pointwise.jsonnet:115`) —
+    dispatched on the text-config type."""
+    from .opt import OPTConfig
+
+    lm_sd = _strip_prefix(sd, "language_model.")
+    lm_params = (
+        opt_params(lm_sd, config.text_config)
+        if isinstance(config.text_config, OPTConfig)
+        else t5_params(lm_sd, config.text_config)
+    )
     return {
         "vision_model": blip2_vision_params(_strip_prefix(sd, "vision_model.")),
         "qformer": blip2_qformer_params(
             _strip_prefix(sd, "qformer."), sd["query_tokens"][0:1]
         ),
         "language_projection": _linear(sd, "language_projection"),
-        "language_model": t5_params(
-            _strip_prefix(sd, "language_model."), config.text_config
-        ),
+        "language_model": lm_params,
     }
 
 

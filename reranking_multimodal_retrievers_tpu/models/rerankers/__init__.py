@@ -7,6 +7,7 @@ from .decoder import (
     DecoderHeadRerankModel,
     DecoderRerankConfig,
     Blip2DecoderRerankModel,
+    Blip2DecoderHeadRerankModel,
     Blip2RerankConfig,
     VisionSeq2SeqLM,
     prepare_decoder_rerank_inputs,
@@ -14,6 +15,7 @@ from .decoder import (
 
 __all__ = [
     "Blip2DecoderRerankModel",
+    "Blip2DecoderHeadRerankModel",
     "Blip2RerankConfig",
     "CrossEncoder",
     "prepare_logits_labels",

@@ -321,13 +321,31 @@ class Blip2DecoderRerankModel(nn.Module):
             prefix = jnp.repeat(
                 self.model.vision_prefix(pixel_values), nway, axis=0
             )
-        dec_in = jnp.full(
-            (expanded, 1), cfg.blip2.text_config.decoder_start_token_id, jnp.int32
-        )
-        logits, _ = self.model(
-            input_ids, attention_mask, dec_in, vision_prefix=prefix
-        )
-        first = logits[:, 0, :].astype(jnp.float32)
+        if cfg.blip2.use_decoder_only_language_model:
+            # monoBLIP2-Opt: the last real prompt position predicts the
+            # yes/no token (HF slices logits to the label window and the
+            # reference reads its first row, `decoder_rerank_model.py:147-150`
+            # + `modeling_blip_2.py:1445-1447`). Computed per row from the
+            # attention mask — right-padded rows score at their own final
+            # token, not at a shared pad column.
+            logits_full, _, _ = self.model.causal_lm_logits(
+                input_ids, attention_mask, vision_prefix=prefix
+            )
+            prefix_len = 0 if prefix is None else prefix.shape[1]
+            last = prefix_len + jnp.sum(
+                attention_mask.astype(jnp.int32), axis=1) - 1
+            first = jnp.take_along_axis(
+                logits_full, last[:, None, None], axis=1
+            )[:, 0, :].astype(jnp.float32)
+        else:
+            dec_in = jnp.full(
+                (expanded, 1), cfg.blip2.text_config.decoder_start_token_id,
+                jnp.int32,
+            )
+            logits, _ = self.model(
+                input_ids, attention_mask, dec_in, vision_prefix=prefix
+            )
+            first = logits[:, 0, :].astype(jnp.float32)
         logz = jax.nn.logsumexp(first, axis=-1)
         gold = jnp.take_along_axis(first, target[:, None], axis=-1)[:, 0]
         loss = jnp.mean(logz - gold)
@@ -335,6 +353,75 @@ class Blip2DecoderRerankModel(nn.Module):
         no = first[:, cfg.no_token_id]
         p_yes = jax.nn.softmax(jnp.stack([yes, no], axis=-1), axis=-1)[:, 0:1]
         return DecoderRerankOutput(loss=loss, logits=p_yes)
+
+
+class Blip2DecoderHeadRerankModel(nn.Module):
+    """Model B with the BLIP-2 backbone (reference
+    ``DecoderHeadRerankModel``, `decoder_rerank_model.py:162-247` — the
+    monoBLIP2-*_pointwise configs): two bias-free linear heads over the
+    hidden state at the ``<GEN>`` prompt position (decoder-only LM — the
+    last real token, `:233-235`) or the first decoder step (T5, `:236-237`),
+    scored through the shared rerank loss vocabulary."""
+
+    config: "Blip2RerankConfig"
+
+    def setup(self):
+        from ..blip2 import Blip2ForConditionalGeneration
+
+        self.model = Blip2ForConditionalGeneration(
+            self.config.blip2, name="model"
+        )
+        self.classifier1 = nn.Dense(1, use_bias=False, name="classifier1")
+        self.classifier2 = nn.Dense(1, use_bias=False, name="classifier2")
+
+    def __call__(
+        self,
+        input_ids,
+        attention_mask,
+        pixel_values,
+        num_negative_examples: int,
+        labels=None,
+        vision_feats=None,
+    ):
+        cfg = self.config
+        expanded = input_ids.shape[0]
+        nway = num_negative_examples + 1
+        batch_size = expanded // nway
+        prefix = None
+        if vision_feats is not None:
+            prefix = vision_feats
+        elif pixel_values is not None:
+            prefix = jnp.repeat(
+                self.model.vision_prefix(pixel_values), nway, axis=0
+            )
+        if cfg.blip2.use_decoder_only_language_model:
+            _, hidden, _ = self.model.causal_lm_logits(
+                input_ids, attention_mask, vision_prefix=prefix
+            )
+            prefix_len = 0 if prefix is None else prefix.shape[1]
+            last = prefix_len + jnp.sum(
+                attention_mask.astype(jnp.int32), axis=1) - 1
+            rel = jnp.take_along_axis(
+                hidden, last[:, None, None], axis=1)[:, 0, :]
+        else:
+            dec_in = jnp.full(
+                (expanded, 1), cfg.blip2.text_config.decoder_start_token_id,
+                jnp.int32,
+            )
+            _, hidden = self.model(
+                input_ids, attention_mask, dec_in, vision_prefix=prefix
+            )
+            rel = hidden[:, 0]
+        logits1 = self.classifier1(rel)
+        logits2 = self.classifier2(rel)
+        logits, lbl = prepare_logits_labels(
+            cfg.loss_fn, logits1, logits2, batch_size, num_negative_examples,
+            labels,
+        )
+        loss = rerank_loss(cfg.loss_fn, logits, lbl, cfg.pos_weight)
+        return DecoderRerankOutput(
+            loss=loss, logits=primary_logits(cfg.loss_fn, logits)
+        )
 
 
 @dataclasses.dataclass(frozen=True)

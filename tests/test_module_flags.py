@@ -64,3 +64,42 @@ def test_flipr_flag_in_engine_config():
 
     cfg = EngineConfig.make(interaction="flipr", query_maxlen=64)
     assert cfg.interaction == "flipr"
+
+
+def test_fusion_with_mores_rejected_at_config_time(tmp_path):
+    """VERDICT r1 weak #6: preflmr_attention_fusion × interaction_type=MORES
+    is an unsupported combination (the reference's MORESSym raises
+    NotImplementedError at runtime, `mores_model.py:71-73`); here it must
+    fail at executor construction with a clear config error."""
+    import json
+
+    import reranking_multimodal_retrievers_tpu.data.ops  # noqa: F401 (registry)
+    from reranking_multimodal_retrievers_tpu.executors.reranker_executor import (
+        RerankerExecutor,
+    )
+    from reranking_multimodal_retrievers_tpu.utils.config_system import (
+        ConfigDict,
+    )
+
+    cfg = ConfigDict(json.load(open("configs/okvqa_rerank_interaction.json")))
+    cfg.data_pipeline["cache_dir"] = str(tmp_path / "cache")
+    cfg.meta["experiment_dir"] = str(tmp_path / "exp")
+    assert cfg.model_config["interaction_type"] == "MORES"
+    cfg.model_config["modules"] = list(
+        set(cfg.model_config.get("modules", []))
+        | {"interaction_reranker", "preflmr_attention_fusion"}
+    )
+    with pytest.raises(ValueError, match="MORES"):
+        RerankerExecutor(cfg, use_dummy_data=True)
+
+    # the supported combination (CrossEncoder + fusion) still constructs
+    cfg2 = ConfigDict(json.load(open("configs/okvqa_rerank_interaction.json")))
+    cfg2.data_pipeline["cache_dir"] = str(tmp_path / "cache2")
+    cfg2.meta["experiment_dir"] = str(tmp_path / "exp2")
+    cfg2.model_config["interaction_type"] = "CrossEncoder"
+    cfg2.model_config["modules"] = list(
+        set(cfg2.model_config.get("modules", []))
+        | {"interaction_reranker", "preflmr_attention_fusion"}
+    )
+    ex = RerankerExecutor(cfg2, use_dummy_data=True)
+    assert ex.reranker_family == "interaction"
