@@ -164,8 +164,11 @@ class BaseExecutor(MetricsProcessor):
                 self.on_eval_end("valid", val_metrics)
                 self.log_metrics({f"valid/{k}": v for k, v in val_metrics.metrics.items()})
                 self.save_checkpoint(val_metrics.metrics)
-        if not self.data_loaders.get("valid"):
-            self.save_checkpoint()
+        # ALWAYS leave a final checkpoint (Lightning save_last role). Without
+        # this, a run whose validation interval never fired (max_epochs <
+        # check_val_every_n_epoch) ended with no checkpoint at all and test
+        # mode silently evaluated random weights.
+        self.save_checkpoint()
         return self.metrics_history
 
     def prepare_training(self, total_steps: int):

@@ -96,15 +96,18 @@ class FLMRExecutor(BaseExecutor):
 
         qlen = self.config.get_path("model_config.query_maxlen", 32)
         dlen = self.config.get_path("model_config.doc_maxlen", 64)
-        img = self.flmr_config.vision_config.image_size
         nway = self.num_negative_samples + 1
-        return dict(
+        batch = dict(
             query_input_ids=jnp.ones((2, qlen), jnp.int32),
             query_attention_mask=jnp.ones((2, qlen), jnp.int32),
-            query_pixel_values=jnp.zeros((2, 3, img, img), jnp.float32),
             context_input_ids=jnp.ones((2 * nway, dlen), jnp.int32),
             context_attention_mask=jnp.ones((2 * nway, dlen), jnp.int32),
         )
+        if self.flmr_config.use_vision_encoder:
+            img = self.flmr_config.vision_config.image_size
+            batch["query_pixel_values"] = jnp.zeros(
+                (2, 3, img, img), jnp.float32)
+        return batch
 
     def _setup_corpus(self):
         """Build id2doc from the pipeline's passage tables (reference

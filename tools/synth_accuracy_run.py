@@ -1,0 +1,137 @@
+"""Synthetic-task accuracy demonstration driver (VERDICT r1 #1).
+
+Runs the full pipeline on one device (TPU by default — run with no JAX env
+overrides from the repo root):
+
+1. train the FLMR retriever on the adjacency-pair task (configs/synth_flmr);
+2. retrieve top-100 for the TRAIN and TEST query splits with the trained
+   retriever (two `--mode test` runs; the train-split one swaps the test
+   loader to split='train');
+3. merge both prediction dumps into a static-retrieval json
+   (`RerankerExecutor.init_retrieve` shape, reference
+   `Reranker_base_executor.py:244-271`);
+4. train the FullContextRerankModel on retrieved docs (1 gold positive + N
+   retrieved hard negatives, `neg_sample_retrieved`);
+5. rerank the top-100 per test query and report reranked-vs-raw PRRecall@K
+   side by side (`compute_rerank_DPR_scores`, reference
+   `metrics_processors.py:712`).
+
+Success = reranked recall_at_5 > raw_recall_at_5 by a clear margin over the
+500-query test split, with ≥300-step training curves in each experiment's
+metrics.jsonl — the qualitative shape of the reference's OK-VQA plot
+(0.23 → 0.28, `plots.ipynb` cell 16).
+
+Usage: python tools/synth_accuracy_run.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from reranking_multimodal_retrievers_tpu.cli.main import main  # noqa: E402
+
+STATIC_PATH = "experiments/synth_static_retrieval.json"
+
+
+def run(args_list):
+    rc = main(args_list)
+    assert rc == 0, f"CLI failed ({rc}): {args_list}"
+
+
+def latest_version(exp_name: str) -> str:
+    base = os.path.join("experiments", exp_name)
+    versions = sorted(
+        (d for d in os.listdir(base) if d.startswith("version_")),
+        key=lambda d: int(d.split("_")[1]),
+    )
+    return os.path.join(base, versions[-1])
+
+
+def make_train_split_config() -> str:
+    """synth_flmr variant whose test loader serves the TRAIN queries (for
+    mining the reranker's training retrieval lists)."""
+    cfg = json.load(open("configs/synth_flmr.json"))
+    ds_cfg = cfg["data_pipeline"]["transforms"]["output:PrepareDataloaders"][
+        "setup_kwargs"]["datasets_config"]
+    ds_cfg["test"][0]["split"] = "train"
+    cfg["meta"]["experiment_name"] = "synth_flmr_trainsplit"
+    path = "configs/_generated_synth_flmr_trainsplit.json"
+    json.dump(cfg, open(path, "w"), indent=2)
+    return path
+
+
+def main_driver():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny epochs for a smoke pass")
+    ap.add_argument("--skip-retriever", action="store_true",
+                    help="reuse existing retriever ckpt + static retrieval")
+    args = ap.parse_args()
+
+    epochs = "1" if args.quick else "12"
+    rr_epochs = "1" if args.quick else "4"
+
+    if not args.skip_retriever:
+        # 1. retriever training
+        run(["--config", "configs/synth_flmr.json", "--mode", "train",
+             "--opts", f"train.trainer_paras.max_epochs={epochs}"])
+        flmr_dir = latest_version("synth_flmr")
+        print(f"[synth] retriever trained -> {flmr_dir}")
+
+        # 2a. retrieve for the TEST split
+        run(["--config", "configs/synth_flmr.json", "--mode", "test",
+             "--opts", f"meta.experiment_dir='{flmr_dir}'"])
+        # 2b. retrieve for the TRAIN split (fresh experiment dir, explicit
+        # checkpoint path — resolution order `experiment.py:483-514`)
+        from reranking_multimodal_retrievers_tpu.training.checkpointing import (
+            CheckpointManager,
+        )
+
+        ckpt = CheckpointManager(os.path.join(flmr_dir, "ckpts")).resolve()
+        assert ckpt, f"no checkpoint under {flmr_dir}/ckpts"
+        tcfg = make_train_split_config()
+        run(["--config", tcfg, "--mode", "test",
+             "--opts", f"test.load_model_path='{ckpt}'"])
+        train_dir = latest_version("synth_flmr_trainsplit")
+
+        # 3. merge into static retrieval
+        static = {}
+        for d in (flmr_dir, train_dir):
+            dump = json.load(open(os.path.join(
+                d, "test_predictions_rank_0.json")))
+            for entry in dump["predictions"]:
+                static[str(entry["question_id"])] = entry[
+                    "top_ranking_passages"]
+        os.makedirs("experiments", exist_ok=True)
+        with open(STATIC_PATH, "w") as f:
+            json.dump(static, f)
+        print(f"[synth] static retrieval for {len(static)} queries -> "
+              f"{STATIC_PATH}")
+
+    # 4. reranker training on retrieved docs
+    run(["--config", "configs/synth_rerank_full_context.json",
+         "--mode", "train",
+         "--opts", f"train.trainer_paras.max_epochs={rr_epochs}"])
+    rr_dir = latest_version("synth_rerank_full_context")
+
+    # 5. rerank the test split
+    run(["--config", "configs/synth_rerank_full_context.json",
+         "--mode", "test", "--opts", f"meta.experiment_dir='{rr_dir}'"])
+    dump = json.load(open(os.path.join(rr_dir,
+                                       "test_predictions_rank_0.json")))
+    m = dump["metrics"]
+    print(json.dumps({k: v for k, v in m.items() if "recall" in k}, indent=1))
+    r5, raw5 = m["recall_at_5"], m["raw_recall_at_5"]
+    print(f"[synth] PRRecall@5 rerank={r5:.4f} raw={raw5:.4f} "
+          f"delta={r5 - raw5:+.4f}")
+    assert r5 > raw5, "reranker did not beat raw retrieval order"
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main_driver())
