@@ -350,6 +350,114 @@ def bench_blip2_decoder():
     return K / best
 
 
+def bench_blip2_opt():
+    """monoBLIP2-Opt (decoder-only reranker) throughput — the reference's
+    BEST reranker (OK-VQA R@5 0.40) and its slowest: 12.64 s/query for 100
+    docs on A100 (BASELINE.md; backbone Salesforce/blip2-opt-2.7b,
+    `monoBLIP2-Opt_pointwise.jsonnet:115`). Full model scale: ViT-g vision,
+    BERT-base Q-Former, OPT-2.7b (hidden 2560, 32 layers). The vision prefix
+    is computed once per image and broadcast over the 100 candidates; the
+    [K, 512] prompt batch scans the OPT stack in fixed-size row chunks;
+    hidden states are gathered at each row's final prompt position and ONLY
+    those rows are projected through the 50k-vocab head (identical yes/no
+    logits, `models/rerankers/decoder.py`). Zero-valued bf16 params (same
+    FLOPs/bytes as bridged weights; throughput only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from reranking_multimodal_retrievers_tpu.models.blip2 import (
+        Blip2Config, Blip2VisionConfig, Blip2QFormerConfig,
+        Blip2ForConditionalGeneration,
+    )
+    from reranking_multimodal_retrievers_tpu.models.opt import OPTConfig
+    from reranking_multimodal_retrievers_tpu.models.rerankers.decoder import (
+        Blip2DecoderRerankModel, Blip2RerankConfig,
+    )
+
+    K, L = 100, 512
+    CHUNK = int(os.environ.get("BENCH_OPT_CHUNK", "10"))
+    if K % CHUNK:
+        raise ValueError(f"BENCH_OPT_CHUNK={CHUNK} must divide K={K}")
+    # causal Pallas attention: scores stay in VMEM, the mask is synthesized
+    # in-register (ops/attention_pallas.py `causal=True`)
+    opt_cfg = OPTConfig.opt_2_7b(
+        use_pallas_attention=os.environ.get("BENCH_PALLAS_ATTN", "1") == "1")
+    cfg = Blip2RerankConfig(
+        blip2=Blip2Config(
+            vision_config=Blip2VisionConfig(),
+            qformer_config=Blip2QFormerConfig(),
+            text_config=opt_cfg,
+            num_query_tokens=32,
+        )
+    )
+    model = Blip2DecoderRerankModel(cfg)
+    rng = np.random.default_rng(0)
+    ids_small = jnp.asarray(rng.integers(10, 50000, size=(2, 16)), jnp.int32)
+    am_small = jnp.ones((2, 16), jnp.int32)
+    pix_f32 = jnp.zeros((1, 3, 224, 224), jnp.float32)
+
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), ids_small, am_small,
+                           pix_f32, num_negative_examples=1)
+    )["params"]
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.dtype == jnp.float32
+                            else s.dtype), shapes,
+    )
+    pix = pix_f32.astype(jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(10, 50000, size=(K, L)), jnp.int32)
+    am = jnp.ones((K, L), jnp.int32)
+
+    blip2 = Blip2ForConditionalGeneration(cfg.blip2)
+
+    @jax.jit
+    def prefix_fn(params, pix):
+        return model.apply({"params": params}, pix,
+                           method=Blip2DecoderRerankModel.encode_vision)
+
+    @jax.jit
+    def rerank100(params, prefix, carry):
+        p = params["model"]
+        prefix_c = jnp.tile(prefix, (CHUNK, 1, 1))
+
+        def chunk(c, xs):
+            ci, cam = xs
+            _, hidden, _ = blip2.apply(
+                {"params": p}, ci + c, cam,
+                method=Blip2ForConditionalGeneration.causal_lm_hidden,
+                vision_prefix=prefix_c,
+            )
+            last = prefix.shape[1] + jnp.sum(cam, axis=1) - 1
+            rel = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
+            return c, rel[:, 0, :]
+
+        _, rels = jax.lax.scan(
+            chunk, carry,
+            (ids.reshape(-1, CHUNK, L), am.reshape(-1, CHUNK, L)),
+        )
+        rel_all = rels.reshape(K, 1, -1)
+        logits = blip2.apply(
+            {"params": p}, rel_all,
+            method=lambda m, h: m.language_model.lm_logits(h),
+        )[:, 0, :].astype(jnp.float32)
+        yes, no = logits[:, 4763], logits[:, 117]  # OPT-BPE ids for yes/no
+        p_yes = jax.nn.softmax(jnp.stack([yes, no], axis=-1), axis=-1)[:, 0]
+        return (p_yes.sum() * 1e-12).astype(jnp.int32)
+
+    prefix = prefix_fn(params, pix)
+    carry = rerank100(params, prefix, jnp.zeros((), jnp.int32))
+    int(carry)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        c = carry
+        for _ in range(2):
+            c = rerank100(params, prefix, c)
+        int(c)  # device→host sync (block_until_ready lies on the tunnel)
+        best = min(best, (time.perf_counter() - t0) / 2)
+    return K / best
+
+
 def bench_maxsim_kernel():
     """Secondary artifact: fused Pallas MaxSim TFLOPS on the real chip
     (stderr only — the driver's headline line stays the rerank metric)."""
@@ -445,6 +553,8 @@ def main():
              bench_interaction, 100 / 0.24, 1500),
             ("monoBLIP2_FlanT5XL_rerank_candidates_per_sec",
              bench_blip2_decoder, 100 / 9.52, 1800),
+            ("monoBLIP2_Opt2.7b_rerank_candidates_per_sec",
+             bench_blip2_opt, 100 / 12.64, 2400),
         ):
             if time.perf_counter() - t_start > budget_s:
                 print(f"{name} skipped: bench time budget", file=sys.stderr)

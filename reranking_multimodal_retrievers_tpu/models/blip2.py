@@ -312,6 +312,18 @@ class Blip2ForConditionalGeneration(nn.Module):
         full_mask)``; position ``prefix_len + n_real - 1`` predicts the token
         after the prompt (the yes/no score position for the monoBLIP2-Opt
         reranker; the head variant reads ``hidden`` there)."""
+        hidden, attention_mask = self.causal_lm_hidden(
+            input_ids, attention_mask, pixel_values, vision_prefix)[1:]
+        return (self.language_model.lm_logits(hidden), hidden,
+                attention_mask)
+
+    def causal_lm_hidden(self, input_ids, attention_mask,
+                         pixel_values=None, vision_prefix=None):
+        """Decoder-only hidden states over [vision prefix ; prompt] WITHOUT
+        the vocab projection — callers that score a single position gather
+        first and project only that row (``lm_logits``). Returns
+        ``(None, hidden, full_mask)`` (tuple layout shared with
+        :meth:`causal_lm_logits`)."""
         assert self.config.use_decoder_only_language_model
         lm = self.language_model
         text_embeds = lm.embed_tokens(input_ids)
@@ -325,9 +337,9 @@ class Blip2ForConditionalGeneration(nn.Module):
             attention_mask = jnp.concatenate([prefix_mask, attention_mask], axis=1)
         else:
             inputs_embeds = text_embeds
-        logits, hidden = lm(inputs_embeds=inputs_embeds,
-                            attention_mask=attention_mask)
-        return logits, hidden, attention_mask
+        hidden = lm.hidden_states(inputs_embeds=inputs_embeds,
+                                  attention_mask=attention_mask)
+        return None, hidden, attention_mask
 
     def decode_logits(self, decoder_input_ids, enc_states, enc_attention_mask):
         """Per-position decoder logits over a fixed-length token buffer — the

@@ -58,6 +58,10 @@ class OPTConfig:
     init_std: float = 0.02
     lora_r: int = 0
     lora_alpha: float = 32.0
+    # serve self-attention through the layout-native Pallas kernel with the
+    # causal mask synthesized in-register (ops/attention_pallas.py) — the
+    # [B, heads, L, L] score tensors never touch HBM. Inference knob.
+    use_pallas_attention: bool = False
 
     @property
     def embed_dim(self) -> int:
@@ -96,7 +100,7 @@ class OPTAttention(nn.Module):
     config: OPTConfig
 
     @nn.compact
-    def __call__(self, x, mask_bias):
+    def __call__(self, x, mask_bias, key_mask=None):
         cfg = self.config
         B, L, H = x.shape
         nh, hd = cfg.num_attention_heads, cfg.head_dim
@@ -109,6 +113,19 @@ class OPTAttention(nn.Module):
         q = qv_dense("q_proj")(x)
         k = nn.Dense(H, name="k_proj")(x)
         v = qv_dense("v_proj")(x)
+        if (cfg.use_pallas_attention and key_mask is not None
+                and L % 8 == 0 and _pallas_ok()):
+            # layout-native fused kernel with the causal mask synthesized
+            # in-register (ops/attention_pallas.py): the [B, heads, L, L]
+            # score tensors never touch HBM
+            from ..ops.attention_pallas import fused_self_attention
+
+            key_bias = (1.0 - key_mask.astype(jnp.float32)) * ATTN_MASK_BIAS
+            ctx = fused_self_attention(
+                q, k, v, mask_bias=key_bias, causal=True,
+                num_heads=nh, sm_scale=hd ** -0.5,
+            )
+            return nn.Dense(H, name="out_proj")(ctx)
         q = (q * (hd ** -0.5)).reshape(B, L, nh, hd)
         k = k.reshape(B, L, nh, hd)
         v = v.reshape(B, L, nh, hd)
@@ -121,17 +138,26 @@ class OPTAttention(nn.Module):
         return nn.Dense(H, name="out_proj")(ctx.reshape(B, L, H))
 
 
+def _pallas_ok() -> bool:
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:
+        return False
+    return "tpu" in plat or "axon" in plat
+
+
 class OPTDecoderLayer(nn.Module):
     config: OPTConfig
 
     @nn.compact
-    def __call__(self, x, mask_bias):
+    def __call__(self, x, mask_bias, key_mask=None):
         cfg = self.config
         residual = x
         h = (nn.LayerNorm(epsilon=cfg.layer_norm_eps,
                           name="self_attn_layer_norm")(x)
              if cfg.do_layer_norm_before else x)
-        h = OPTAttention(cfg, name="self_attn")(h, mask_bias)
+        h = OPTAttention(cfg, name="self_attn")(h, mask_bias,
+                                               key_mask=key_mask)
         x = residual + h
         if not cfg.do_layer_norm_before:  # opt-350m post-LN variant
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
@@ -210,7 +236,7 @@ class OPTForCausalLM(nn.Module):
         x = x + pos.astype(x.dtype)
         bias = self.causal_bias(attention_mask)
         for layer in self.layers:
-            x = layer(x, bias)
+            x = layer(x, bias, key_mask=attention_mask)
         if self.final_layer_norm is not None:
             x = self.final_layer_norm(x)
         if self.project_out is not None:

@@ -34,13 +34,21 @@ NEG_INF = -1e9
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, head_bias_ref, o_ref, *,
-                 sm_scale, heads_per_block, head_dim):
+                 sm_scale, heads_per_block, head_dim, causal=False):
     # Mosaic requires lane-dim blocks of ≥128, so each grid step carries
     # `heads_per_block` packed heads and slices them here (static lane
     # offsets — register-level, no HBM traffic)
     bias = None
     if bias_ref is not None:
         bias = bias_ref[:, 0:1, :].astype(jnp.float32)  # [bb, 1, Lk]
+    causal_bias = None
+    if causal:
+        # synthesized in-register (iota compare) — a causal mask costs no
+        # HBM traffic, unlike streaming a [heads, L, L] bias
+        Lq, Lk = q_ref.shape[1], k_ref.shape[1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 1)
+        causal_bias = jnp.where(cols > rows, NEG_INF, 0.0)[None]  # [1, Lq, Lk]
     for h in range(heads_per_block):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q = q_ref[:, :, sl]  # [bb, L, hd]
@@ -68,6 +76,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, head_bias_ref, o_ref, *,
             # per-head additive bias (T5 relative-position bias), shared
             # across the batch tile: [hpb, Lq, Lk] slice for this head group
             s = s + head_bias_ref[h][None].astype(jnp.float32)
+        if causal_bias is not None:
+            s = s + causal_bias
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -79,11 +89,12 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, head_bias_ref, o_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "sm_scale", "block_b", "interpret")
+    jax.jit, static_argnames=("num_heads", "sm_scale", "block_b", "causal",
+                              "interpret")
 )
 def fused_self_attention(q, k, v, mask_bias=None, head_bias=None, *,
                          num_heads: int, sm_scale: float, block_b: int = 5,
-                         interpret: bool = False):
+                         causal: bool = False, interpret: bool = False):
     """Softmax(QKᵀ·scale + bias)·V over heads packed in the last dim.
 
     q/k/v: [B, L, num_heads·head_dim] (the projection outputs, un-reshaped).
@@ -92,13 +103,18 @@ def fused_self_attention(q, k, v, mask_bias=None, head_bias=None, *,
         across the batch (T5 relative-position bias); each grid step streams
         only its head group's [hpb, L, L] slice into VMEM, so the unfused
         path's [B, heads, L, L] broadcast never materializes.
+    causal: decoder-only masking (OPT) — synthesized inside the kernel from
+        iota comparisons, so it costs no HBM traffic at all.
     Returns [B, L, num_heads·head_dim]. B must divide by a tile ≤ block_b.
     """
     B, L, HD = q.shape
     hd = HD // num_heads
-    # lane-dim blocks must be ≥128: pack ceil(128/hd) heads per step
+    # lane-dim blocks must be 128-aligned: pack the smallest head group whose
+    # packed width is a multiple of 128 (hd=64 → 2, hd=80 (OPT) → 8)
     hpb = max(1, -(-128 // hd))
-    assert num_heads % hpb == 0 and (hpb * hd) % 128 == 0, (num_heads, hd)
+    while (hpb * hd) % 128 != 0 or num_heads % hpb != 0:
+        hpb += 1
+        assert hpb <= num_heads, (num_heads, hd)
     # Mosaic miscompiles (SIGABRT) the [bb, 1, Lk]→[bb, Lq, Lk] mask
     # broadcast when L is not a lane multiple (observed at L=544 on v5e;
     # 512/640 fine) — pad L up to the next multiple of 128 with −1e9-masked
@@ -118,21 +134,25 @@ def fused_self_attention(q, k, v, mask_bias=None, head_bias=None, *,
             )
         out = fused_self_attention(
             q, k, v, mask_bias, head_bias, num_heads=num_heads,
-            sm_scale=sm_scale, block_b=block_b, interpret=interpret,
+            sm_scale=sm_scale, block_b=block_b, causal=causal,
+            interpret=interpret,
         )
         return out[:, :L, :]
     # the per-step VMEM stack is dominated by the [bb, L, L] fp32 score block
-    # (plus its exp); scale the batch tile down quadratically from the tuned
-    # (bb=5, L=512) point so longer sequences stay under the 16 MB scoped
-    # limit instead of failing to compile
-    block_b = max(1, min(block_b, int(block_b * (512 / L) ** 2)))
+    # (plus its exp) and the [bb, L, hpb·hd] q/k/v/out blocks; scale the
+    # batch tile down from the tuned (bb=5, L=512, 128-lane pack) point so
+    # longer sequences and wide head packs (OPT: hpb·hd = 640) stay under
+    # the 16 MB scoped limit instead of failing to compile
+    block_b = max(1, min(block_b, int(block_b * (512 / L) ** 2
+                                      * 128 / (hpb * hd))))
     bb = next(b for b in range(min(block_b, B), 0, -1) if B % b == 0)
     grid = (B // bb, num_heads // hpb)
 
     x_spec = pl.BlockSpec((bb, L, hpb * hd), lambda i, n: (i, 0, n))
     in_specs = [x_spec, x_spec, x_spec]
     args = [q, k, v]
-    kw = dict(sm_scale=sm_scale, heads_per_block=hpb, head_dim=hd)
+    kw = dict(sm_scale=sm_scale, heads_per_block=hpb, head_dim=hd,
+              causal=causal)
     have_mask = mask_bias is not None
     have_head = head_bias is not None
     if have_mask:

@@ -249,3 +249,84 @@ class TestT5FusedAttention:
         l1, _ = m1.apply({"params": params}, ids, am, dec)
         np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
                                    atol=2e-4, rtol=1e-3)
+
+
+class TestCausalFusedAttention:
+    """Causal (decoder-only / OPT) variant of the fused attention kernel —
+    the mask is synthesized in-register from iota comparisons."""
+
+    def _mk(self, seed=0, B=4, L=64, NH=4, HD=32):
+        import numpy as np
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        mk = lambda: jnp.asarray(
+            rng.normal(size=(B, L, NH * HD)), jnp.float32)
+        return mk(), mk(), mk(), NH, HD
+
+    def test_causal_matches_reference(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from reranking_multimodal_retrievers_tpu.ops.attention_pallas import (
+            fused_self_attention, fused_self_attention_reference,
+        )
+
+        q, k, v, NH, HD = self._mk()
+        L = q.shape[1]
+        got = fused_self_attention(q, k, v, causal=True, num_heads=NH,
+                                   sm_scale=HD ** -0.5, interpret=True)
+        causal_bias = jnp.where(
+            jnp.arange(L)[None, :] > jnp.arange(L)[:, None], -1e9, 0.0)
+        ref = fused_self_attention_reference(
+            q, k, v, head_bias=jnp.broadcast_to(causal_bias, (NH, L, L)),
+            num_heads=NH, sm_scale=HD ** -0.5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_causal_with_key_padding(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from reranking_multimodal_retrievers_tpu.ops.attention_pallas import (
+            fused_self_attention, fused_self_attention_reference,
+        )
+
+        q, k, v, NH, HD = self._mk(seed=1)
+        B, L = q.shape[:2]
+        bias = jnp.zeros((B, L), jnp.float32).at[:, 48:].set(-1e9)
+        got = fused_self_attention(q, k, v, bias, causal=True, num_heads=NH,
+                                   sm_scale=HD ** -0.5, interpret=True)
+        causal_bias = jnp.where(
+            jnp.arange(L)[None, :] > jnp.arange(L)[:, None], -1e9, 0.0)
+        ref = fused_self_attention_reference(
+            q, k, v, bias, head_bias=jnp.broadcast_to(causal_bias, (NH, L, L)),
+            num_heads=NH, sm_scale=HD ** -0.5)
+        # padded-query rows (>=48) attend only to masked keys; compare the
+        # real rows
+        np.testing.assert_allclose(np.asarray(got)[:, :48], np.asarray(ref)[:, :48],
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_opt_head_dim_80_packing(self):
+        """OPT's head_dim=80 needs an 8-head pack (640 lanes) — the packing
+        search must find it instead of asserting."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from reranking_multimodal_retrievers_tpu.ops.attention_pallas import (
+            fused_self_attention, fused_self_attention_reference,
+        )
+
+        rng = np.random.default_rng(2)
+        B, L, NH, HD = 2, 16, 8, 80
+        mk = lambda: jnp.asarray(rng.normal(size=(B, L, NH * HD)), jnp.float32)
+        q, k, v = mk(), mk(), mk()
+        got = fused_self_attention(q, k, v, causal=True, num_heads=NH,
+                                   sm_scale=HD ** -0.5, interpret=True)
+        causal_bias = jnp.where(
+            jnp.arange(L)[None, :] > jnp.arange(L)[:, None], -1e9, 0.0)
+        ref = fused_self_attention_reference(
+            q, k, v, head_bias=jnp.broadcast_to(causal_bias, (NH, L, L)),
+            num_heads=NH, sm_scale=HD ** -0.5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
