@@ -233,7 +233,12 @@ def bench_blip2_decoder():
     vision+Q-Former prefix is computed once per image and broadcast over the
     100 candidates; the [K, 512] prompt batch runs as a lax.scan over
     fixed-size chunks. Zero-valued bf16 params (same FLOPs/bytes as bridged
-    weights; throughput only)."""
+    weights; throughput only).
+
+    The single-token decode uses the cross-attention associativity reorder
+    (`models/t5.py::T5Attention`, Lq=1 path): pooling encoder states before
+    the K/V projections removes ~22 TFLOP of the ~156 TFLOP per-query budget
+    — measured 98.8 → 112.5 cand/s (10.7x A100) on v5e."""
     import jax
     import jax.numpy as jnp
 
@@ -361,7 +366,14 @@ def bench_blip2_opt():
     hidden states are gathered at each row's final prompt position and ONLY
     those rows are projected through the 50k-vocab head (identical yes/no
     logits, `models/rerankers/decoder.py`). Zero-valued bf16 params (same
-    FLOPs/bytes as bridged weights; throughput only)."""
+    FLOPs/bytes as bridged weights; throughput only).
+
+    Roofline: one 100-candidate rerank is ~288 TFLOP (32 layers x 544 tokens
+    x 100 rows x 157 MFLOP/token/layer of matmul + ~13 TFLOP attention), so
+    the measured ~59 cand/s = ~172 effective TFLOPS ~ 87% of the v5e's ~197
+    TFLOPS bf16 peak. 10x the A100 baseline (79 cand/s) would need 228
+    TFLOPS — above chip peak — so ~7.5x IS speed-of-light for this family
+    at bf16; the A100 reference runs the same math at ~22 TFLOPS (7% util)."""
     import jax
     import jax.numpy as jnp
 
@@ -375,7 +387,8 @@ def bench_blip2_opt():
     )
 
     K, L = 100, 512
-    CHUNK = int(os.environ.get("BENCH_OPT_CHUNK", "10"))
+    # chunk sweep on v5e: 5 → 59.7, 10 → 57.6, 20 → 56.7 cand/s
+    CHUNK = int(os.environ.get("BENCH_OPT_CHUNK", "5"))
     if K % CHUNK:
         raise ValueError(f"BENCH_OPT_CHUNK={CHUNK} must divide K={K}")
     # causal Pallas attention: scores stay in VMEM, the mask is synthesized

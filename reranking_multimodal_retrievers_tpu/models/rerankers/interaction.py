@@ -68,16 +68,29 @@ class MORESLayer(nn.Module):
 
 
 class MORESSym(nn.Module):
-    """Reference `mores_model.py:60-94`."""
+    """Reference `mores_model.py:60-94`.
+
+    ``attention_adj`` extends the reference: `mores_model.py:74-75` raises
+    ``NotImplementedError`` even though `interaction_rerank_model.py:131-156`
+    builds and passes the fusion bias, so fusion×MORES is dead upstream.
+    Here the full ``[B, Lq+Lc, Lq+Lc]`` fusion block (`fusion_attention_adj`)
+    is decomposed onto MORES's factored attention: the query→doc block
+    ``adj[:, :Lq, Lq:]`` biases every layer's cross-attention and the
+    query→query block ``adj[:, :Lq, :Lq]`` biases self-attention, both added
+    pre-softmax exactly like the CrossEncoder path (`attention_fusion.py:84-102`).
+    Doc rows are K/V-only in MORES, so the bottom blocks (zeros in the
+    fusion construction) have no attachment point and are ignored."""
 
     config: BertConfig
 
     @nn.compact
     def __call__(self, qry, doc, qry_mask, cross_mask, attention_adj=None):
-        if attention_adj is not None:
-            raise NotImplementedError("attention_adj is not implemented for MORES")
+        Lq = qry.shape[1]
         qb = additive_mask(qry_mask)
         db = additive_mask(cross_mask)
+        if attention_adj is not None:
+            qb = qb + attention_adj[:, None, :Lq, :Lq]
+            db = db + attention_adj[:, None, :Lq, Lq:]
         hidden = qry
         for i in range(self.config.num_hidden_layers):
             hidden = MORESLayer(self.config, name=f"layer_{i}")(hidden, qb, doc, db)

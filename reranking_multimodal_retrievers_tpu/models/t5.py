@@ -129,6 +129,42 @@ def relative_position_bucket(
     return ret + jnp.where(is_small, n, val_if_large)
 
 
+class _DenseKernel(nn.Module):
+    """Parameter-only twin of ``nn.Dense(use_bias=False)`` — declares the
+    identical ``kernel`` param (same name, shape, init) and returns it raw,
+    for paths that apply the weight in a reordered contraction. A module
+    initialized through either twin is apply-compatible with the other."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param(
+            "kernel", nn.linear.default_kernel_init,
+            (in_features, self.features),
+        )
+
+
+class _LoRAKernels(nn.Module):
+    """Parameter-only twin of :class:`LoRADense` (``use_bias=False``):
+    declares ``base/kernel`` (+ ``lora_a``/``lora_b`` when ``r>0``) and
+    returns them raw."""
+
+    features: int
+    r: int = 0
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = _DenseKernel(self.features, name="base")(in_features)
+        if self.r > 0:
+            a = self.param("lora_a", nn.initializers.normal(1e-2),
+                           (in_features, self.r))
+            b = self.param("lora_b", nn.initializers.zeros,
+                           (self.r, self.features))
+            return kernel, a, b
+        return kernel, None, None
+
+
 class T5Attention(nn.Module):
     config: T5Config
     has_relative_bias: bool = False
@@ -162,6 +198,52 @@ class T5Attention(nn.Module):
 
         fuse = self._can_fuse(kv, key_mask)
         q2 = proj("q", x, self.lora)
+
+        if kv is not None and Lq == 1:
+            # single-query cross-attention (one-pass yes/no scoring,
+            # `rerankers/decoder.py`): associativity reorder. The standard
+            # order projects ALL Lk encoder positions through the K and V
+            # kernels every layer — 2·Lk·d_model·inner FLOPs each, ~22 TFLOP
+            # of the ~156 TFLOP XL 100-candidate rerank — to serve ONE query
+            # row. Reordering ``(qWq)(encWk)ᵀ = ((qWq)Wkᵀ)encᵀ`` and pooling
+            # the encoder states BEFORE the V projection (attention-prob
+            # pooling commutes with the linear V map, LoRA term included)
+            # makes the per-layer cost O(heads·d_model·Lk) instead of
+            # O(inner·d_model·Lk) — d_kv× cheaper, identical logits up to
+            # bf16 matmul rounding.
+            D = kv_in.shape[-1]
+            Wk = _DenseKernel(cfg.inner_dim, name="k")(D)
+            lr = cfg.lora_r if self.lora else 0
+            Wv, Av, Bv = _LoRAKernels(cfg.inner_dim, r=lr, name="v")(D)
+            if position_bias is None:
+                position_bias = jnp.zeros((1, nh, 1, Lk), jnp.float32)
+            q_h = q2.reshape(B, nh, dk)
+            qk = jnp.einsum(
+                "bnd,Dnd->bnD", q_h, Wk.astype(q2.dtype).reshape(D, nh, dk),
+                preferred_element_type=jnp.float32,
+            ).astype(q2.dtype)
+            scores = jnp.einsum("bnD,bkD->bnk", qk, kv_in,
+                                preferred_element_type=jnp.float32)
+            scores = scores + position_bias[:, :, 0, :]
+            probs = jax.nn.softmax(scores, axis=-1).astype(kv_in.dtype)
+            pooled = jnp.einsum("bnk,bkD->bnD", probs, kv_in,
+                                preferred_element_type=jnp.float32
+                                ).astype(kv_in.dtype)
+            ctx = jnp.einsum(
+                "bnD,Dnd->bnd", pooled,
+                Wv.astype(pooled.dtype).reshape(D, nh, dk),
+                preferred_element_type=jnp.float32,
+            )
+            if Av is not None:
+                lo = jnp.einsum("bnD,Dr->bnr", pooled, Av.astype(pooled.dtype))
+                ctx = ctx + (cfg.lora_alpha / lr) * jnp.einsum(
+                    "bnr,rnd->bnd", lo, Bv.astype(pooled.dtype).reshape(-1, nh, dk),
+                    preferred_element_type=jnp.float32,
+                )
+            ctx2 = ctx.astype(x.dtype).reshape(B, 1, cfg.inner_dim)
+            out = nn.Dense(cfg.d_model, use_bias=False, name="o")(ctx2)
+            return out, position_bias
+
         k2 = proj("k", kv_in, False)
         v2 = proj("v", kv_in, self.lora)
 

@@ -164,6 +164,63 @@ def test_interaction_rerank_model(interaction_type):
     assert np.isfinite(float(out.loss))
 
 
+@pytest.mark.parametrize("interaction_type", ["CrossEncoder", "MORES"])
+def test_interaction_rerank_fusion(interaction_type):
+    """PreFLMR attention fusion through both interaction families (the
+    reference's MORESSym raises for the MORES case, `mores_model.py:74-75`;
+    here the fusion block decomposes onto MORES's factored attention).
+    Semantics checked without an oracle: a zero adj must be a no-op, and a
+    −1e9 cross-block column on one doc token must equal masking that token
+    out of ``context_mask`` entirely (MORES never feeds doc rows through
+    attention queries, so the two are exactly equivalent)."""
+    rng = np.random.default_rng(1)
+    B, nway, Lq, Lc, dim = 2, 2, 6, 10, 16
+    cfg = InteractionRerankConfig.tiny(interaction_type=interaction_type)
+    model = InteractionRerankModel(cfg)
+    batch = dict(
+        query_late_interaction=jnp.asarray(rng.normal(size=(B, Lq, dim)), jnp.float32),
+        context_late_interaction=jnp.asarray(
+            rng.normal(size=(B * nway, Lc, dim)), jnp.float32
+        ),
+        query_mask=jnp.ones((B, Lq), jnp.int32),
+        context_mask=jnp.ones((B * nway, Lc), jnp.int32),
+    )
+    scores = jnp.asarray(rng.normal(size=(B * nway, Lc, Lq)), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), **batch, num_negative_examples=nway - 1,
+        preflmr_scores=scores,
+    )
+    run = lambda **kw: model.apply(
+        params, **{**batch, **kw}, num_negative_examples=nway - 1)
+    base = run()
+    fused = run(preflmr_scores=scores)
+    zero = run(preflmr_scores=scores, fusion_multiplier=0.0)
+    np.testing.assert_allclose(
+        np.asarray(zero.logits), np.asarray(base.logits), atol=1e-6)
+    assert not np.allclose(np.asarray(fused.logits), np.asarray(base.logits))
+    if interaction_type == "MORES":
+        # block doc token 3 through the adj vs. through the context mask
+        adj = jnp.zeros((B * nway, Lq + Lc, Lq + Lc), jnp.float32)
+        adj = adj.at[:, :Lq, Lq + 3].set(-1e9)
+        from reranking_multimodal_retrievers_tpu.models.rerankers.interaction import (
+            MORESSym,
+        )
+        H = cfg.cross_encoder.hidden_size
+        mapped_q = jnp.asarray(rng.normal(size=(B, Lq, H)), jnp.float32)
+        mapped_d = jnp.asarray(rng.normal(size=(B * nway, Lc, H)), jnp.float32)
+        sym = MORESSym(cfg.cross_encoder)
+        qrep = jnp.repeat(mapped_q, nway, axis=0)
+        sp = sym.init(jax.random.PRNGKey(1), qrep, mapped_d,
+                      jnp.ones((B * nway, Lq)), jnp.ones((B * nway, Lc)))
+        via_adj = sym.apply(sp, qrep, mapped_d, jnp.ones((B * nway, Lq)),
+                            jnp.ones((B * nway, Lc)), attention_adj=adj)
+        masked = jnp.ones((B * nway, Lc), jnp.int32).at[:, 3].set(0)
+        via_mask = sym.apply(sp, qrep, mapped_d,
+                             jnp.ones((B * nway, Lq)), masked)
+        np.testing.assert_allclose(np.asarray(via_adj[0]),
+                                   np.asarray(via_mask[0]), atol=1e-5)
+
+
 def test_prepare_full_context_inputs():
     from reranking_multimodal_retrievers_tpu.models.tokenization import (
         prepare_full_context_inputs,

@@ -200,3 +200,46 @@ def test_blip2_decoder_reranker_scoring(io):
     np.testing.assert_allclose(
         np.asarray(out2.logits), np.asarray(out.logits), atol=1e-5
     )
+
+
+def test_t5_single_token_decode_reorder_with_lora(io):
+    """The Lq=1 cross-attention associativity reorder (`t5.py::T5Attention`,
+    the one-pass yes/no scoring path) must agree with the general decode
+    path from the SAME param tree — including a LoRA adapter with non-zero
+    ``lora_b`` (bridged checkpoints zero it, so the bridge parity tests
+    never exercise the reordered LoRA correction term)."""
+    import jax
+
+    ids, am, dec = io
+    cfg = T5Config(vocab_size=64, d_model=16, d_kv=4, d_ff=32, num_layers=2,
+                   num_decoder_layers=2, num_heads=4, lora_r=4,
+                   decoder_start_token_id=0)
+    model = T5ForConditionalGeneration(cfg)
+    B = ids.shape[0]
+    dec3 = jnp.asarray(dec[:, :3], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids, jnp.int32),
+                        jnp.asarray(am, jnp.int32), dec3)["params"]
+    # randomize every LoRA param (lora_b inits to zero → correction would
+    # otherwise vanish)
+    cnt = [0]
+
+    def bump(path, x):
+        name = "/".join(str(p.key) for p in path)
+        if "lora" in name:
+            cnt[0] += 1
+            return jnp.asarray(
+                np.random.default_rng(cnt[0]).normal(size=x.shape), x.dtype)
+        return x
+
+    params = jax.tree_util.tree_map_with_path(bump, params)
+    assert cnt[0] >= 8  # q+v adapters, 2 self/cross layers
+    enc = model.apply({"params": params}, jnp.asarray(ids, jnp.int32),
+                      jnp.asarray(am, jnp.int32),
+                      method=T5ForConditionalGeneration.encode)
+    run = lambda d: model.apply(
+        {"params": params}, d, enc, jnp.asarray(am, jnp.int32),
+        method=T5ForConditionalGeneration.decode)[0]
+    full = run(dec3)            # general path (Lq=3)
+    single = run(dec3[:, :1])   # reordered path (Lq=1)
+    np.testing.assert_allclose(np.asarray(single)[:, 0],
+                               np.asarray(full)[:, 0], atol=2e-5)
