@@ -494,14 +494,28 @@ def bench_retrieval():
 
     Corpus: 100k docs × 256 tokens × dim 128 bf16 (6.55 GB HBM), queries
     96 tokens (PreFLMR text+vision budget). The index is generated directly
-    on-device (a 6.5 GB host transfer through the tunnel would dominate)."""
+    on-device (a 6.5 GB host transfer through the tunnel would dominate).
+
+    Roofline (measured on v5e): scoring one 128-query batch is
+    2·B·Lq·N·Ld·dim = 80.5 TFLOP; the measured ~540 ms/batch = ~150
+    effective TFLOPS ≈ 76% of the ~197 TFLOPS bf16 peak, so the scan is
+    MXU-bound — NOT HBM-bound (the 6.55 GB index streams once per 16-query
+    tile, ~52 GB/batch = ~64 ms at 819 GB/s, fully overlapped) and not
+    top-k-bound (lax.top_k overlaps to <1 ms net). Query batching is the
+    lever that got here: at B=32 a ~63 ms fixed cost (dispatch + final
+    top-k + tunnel sync) is 33% of the batch, capping QPS at 167; B=128
+    amortizes it. Speed-of-light at 100% MXU would be ~313 q/s. The corpus
+    is fixed-length (no padding), so ``unpadded=True`` skips the mask pass
+    exactly; `_local_search(score_dtype=bfloat16)` buys ~4% more at ~0.4%
+    score error (top-100 overlap vs exact: 1.000 measured) — left off here
+    to keep the headline exact."""
     import jax
     import jax.numpy as jnp
 
     from reranking_multimodal_retrievers_tpu.engine.search import make_search_fn
 
     N = int(os.environ.get("BENCH_RETR_N", 100_000))
-    Ld, Lq, dim, B, k = 256, 96, 128, 32, 100
+    Ld, Lq, dim, B, k = 256, 96, 128, int(os.environ.get("BENCH_RETR_B", 128)), 100
 
     @jax.jit
     def build(key):
@@ -515,7 +529,7 @@ def bench_retrieval():
     M = jnp.ones((N, Ld), bool)
     Q = jax.random.normal(jax.random.PRNGKey(1), (B, Lq, dim), jnp.bfloat16)
 
-    search = make_search_fn(mesh=None, n_padded_docs=N, k=k)
+    search = make_search_fn(mesh=None, n_padded_docs=N, k=k, unpadded=True)
 
     @jax.jit
     def chain(Q, D, M):

@@ -43,13 +43,20 @@ def _chunk_scores(Q: jax.Array, D: jax.Array, M: jax.Array) -> jax.Array:
     return jnp.sum(jnp.max(scores, axis=2), axis=-1)
 
 
-def _local_search(Q, D, M, *, k: int, chunk: int, use_pallas: bool = False):
+def _local_search(Q, D, M, *, k: int, chunk: int, use_pallas: bool = False,
+                  score_dtype=jnp.float32, unpadded: bool = False):
     """Scores all local docs and returns local top-k.
 
     ``use_pallas=True`` routes scoring through the fused MaxSim kernel
     (`ops/maxsim_pallas.py` — measured 192 TFLOPS = 97% of v5e bf16 peak vs
     175 for the XLA scan on the 32-query × 3200-doc rerank shape); the XLA
     chunked scan is the portable fallback.
+
+    ``unpadded=True`` (every doc exactly L_d real tokens) drops the mask
+    operand from the kernel, and ``score_dtype=jnp.bfloat16`` halves the VPU
+    bytes of its reduction passes — at the 100k×256 retrieval shape the
+    kernel is VPU-bound, not HBM- or MXU-bound (see `bench.py`
+    ``bench_retrieval`` roofline), so both directly raise QPS.
     """
     n_local = D.shape[0]
     B = Q.shape[0]
@@ -65,16 +72,23 @@ def _local_search(Q, D, M, *, k: int, chunk: int, use_pallas: bool = False):
     if use_pallas and pallas_ok:
         from ..ops.maxsim_pallas import maxsim_scores_pallas
 
-        # the per-step fp32 score block is [C_blk·L_d, B_blk·L_q]; pick the
-        # largest batch tile that keeps it within the VMEM budget (larger
-        # corpora / longer docs shrink the tile instead of failing to
-        # compile — observed at [100k, 256]×[32, 96] on v5e)
+        maxsim_scores_pallas = functools.partial(
+            maxsim_scores_pallas, score_dtype=score_dtype)
+        if unpadded:
+            M_kernel = None
+        else:
+            M_kernel = M
+        # the per-step score block is [C_blk·L_d, B_blk·L_q] in score_dtype;
+        # pick the largest batch tile that keeps it within the VMEM budget
+        # (larger corpora / longer docs shrink the tile instead of failing
+        # to compile — observed at [100k, 256]×[32, 96] on v5e)
         budget = 6 * 1024 * 1024
         c_blk = 8
+        itemsize = jnp.dtype(score_dtype).itemsize
         b_blk = next(
             (b for b in (32, 16, 8)
              if B % b == 0
-             and (c_blk * D.shape[1]) * (b * Q.shape[1]) * 4 <= budget),
+             and (c_blk * D.shape[1]) * (b * Q.shape[1]) * itemsize <= budget),
             None,
         )
         L_d = D.shape[1]
@@ -84,7 +98,8 @@ def _local_search(Q, D, M, *, k: int, chunk: int, use_pallas: bool = False):
         if b_blk is None:
             scores = _xla_chunk_scores(Q, D, M, n_local, chunk)
         elif n_local <= max_slab:
-            scores = maxsim_scores_pallas(Q, D, M, B_blk=b_blk, C_blk=c_blk)
+            scores = maxsim_scores_pallas(Q, D, M_kernel, B_blk=b_blk,
+                                          C_blk=c_blk)
         else:
             slab = next(
                 (s for s in range(max_slab, c_blk - 1, -c_blk)
@@ -95,15 +110,16 @@ def _local_search(Q, D, M, *, k: int, chunk: int, use_pallas: bool = False):
                 scores = _xla_chunk_scores(Q, D, M, n_local, chunk)
             else:
                 Ds = D.reshape(n_local // slab, slab, L_d, D.shape[2])
-                Ms = M.reshape(n_local // slab, slab, L_d)
+                xs = (Ds,) if M_kernel is None else (
+                    Ds, M_kernel.reshape(n_local // slab, slab, L_d))
 
                 def body(_, dm):
-                    d, m = dm
+                    d, m = (dm[0], None) if M_kernel is None else dm
                     return None, maxsim_scores_pallas(
                         Q, d, m, B_blk=b_blk, C_blk=c_blk
                     )
 
-                _, per_slab = jax.lax.scan(body, None, (Ds, Ms))
+                _, per_slab = jax.lax.scan(body, None, xs)
                 scores = jnp.moveaxis(per_slab, 0, 1).reshape(B, n_local)
     else:
         scores = _xla_chunk_scores(Q, D, M, n_local, chunk)
@@ -136,8 +152,13 @@ def default_use_pallas() -> bool:
 
 
 def make_search_fn(mesh: Optional[Mesh], n_padded_docs: int, k: int,
-                   chunk: int = 256, use_pallas: Optional[bool] = None):
-    """Build the jitted search program for a fixed index shape."""
+                   chunk: int = 256, use_pallas: Optional[bool] = None,
+                   score_dtype=jnp.float32, unpadded: bool = False):
+    """Build the jitted search program for a fixed index shape.
+
+    ``unpadded``/``score_dtype`` are serving-throughput knobs for the fused
+    kernel path (see :func:`_local_search`); exact fp32 masked scoring is
+    the default."""
     if use_pallas is None:
         use_pallas = default_use_pallas()
     if mesh is None:
@@ -147,7 +168,8 @@ def make_search_fn(mesh: Optional[Mesh], n_padded_docs: int, k: int,
             while n_padded_docs % c:
                 c -= 1
             return _local_search(Q, D, M, k=min(k, n_padded_docs), chunk=c,
-                                 use_pallas=use_pallas)
+                                 use_pallas=use_pallas,
+                                 score_dtype=score_dtype, unpadded=unpadded)
 
         return search_fn
 
@@ -160,7 +182,8 @@ def make_search_fn(mesh: Optional[Mesh], n_padded_docs: int, k: int,
 
     def spmd(Q, D, M):
         vals, idx = _local_search(Q, D, M, k=k_eff, chunk=c,
-                                  use_pallas=use_pallas)
+                                  use_pallas=use_pallas,
+                                  score_dtype=score_dtype, unpadded=unpadded)
         shard = jax.lax.axis_index(DATA_AXIS)
         gidx = idx + shard * n_local
         all_vals = jax.lax.all_gather(vals, DATA_AXIS, tiled=False)

@@ -214,7 +214,15 @@ class T5Attention(nn.Module):
             D = kv_in.shape[-1]
             Wk = _DenseKernel(cfg.inner_dim, name="k")(D)
             lr = cfg.lora_r if self.lora else 0
-            Wv, Av, Bv = _LoRAKernels(cfg.inner_dim, r=lr, name="v")(D)
+            if lr:
+                Wv, Av, Bv = _LoRAKernels(cfg.inner_dim, r=lr, name="v")(D)
+            else:
+                # no-LoRA twin of ``proj``'s plain nn.Dense: params must sit
+                # at v/kernel (not v/base/kernel) so a model initialized at
+                # decoder length 1 stays apply-compatible with Lq>1 calls
+                # (e.g. greedy caption generation, `data/ops/infoseek_ops.py`)
+                Wv = _DenseKernel(cfg.inner_dim, name="v")(D)
+                Av = Bv = None
             if position_bias is None:
                 position_bias = jnp.zeros((1, nh, 1, Lk), jnp.float32)
             q_h = q2.reshape(B, nh, dk)

@@ -24,6 +24,7 @@ padding) docs float at ≈ −9999·L_q and never win.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,22 +32,27 @@ import jax.numpy as jnp
 from .maxsim import MASK_FILL_VALUE
 
 
-def _maxsim_kernel(q_ref, d_ref, bias_ref, out_ref, *, B_blk, C_blk, L_q, L_d, dim):
+def _maxsim_kernel(q_ref, d_ref, bias_ref, out_ref, *, B_blk, C_blk, L_q, L_d,
+                   dim, score_dtype=jnp.float32):
     q = q_ref[...].reshape(B_blk * L_q, dim)
     d = d_ref[...].reshape(C_blk * L_d, dim)
-    # [C_blk*L_d, B_blk*L_q] fp32 on the MXU
+    # [C_blk*L_d, B_blk*L_q] on the MXU (Mosaic requires a 32-bit matmul
+    # accumulator, so the dot emits fp32; the cast narrows the bias/max
+    # passes — the VPU work that bounds this kernel at retrieval shapes)
     scores = jax.lax.dot_general(
         d, q,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    scores = scores + bias_ref[...]  # [rows, 1] additive mask
+    ).astype(score_dtype)
+    if bias_ref is not None:
+        scores = scores + bias_ref[...].astype(score_dtype)  # [rows, 1] mask
     scores = scores.reshape(C_blk, L_d, B_blk * L_q)
     per_tok = jnp.max(scores, axis=1)  # [C_blk, B_blk*L_q]
     # sum over each query's L_q columns via a 0/1 block-summing matmul
+    # (fp32 accumulate — only the per-token maxima are ever bf16)
     rows = jax.lax.broadcasted_iota(jnp.int32, (B_blk * L_q, B_blk), 0) // L_q
     cols = jax.lax.broadcasted_iota(jnp.int32, (B_blk * L_q, B_blk), 1)
-    summer = (rows == cols).astype(jnp.float32)
+    summer = (rows == cols).astype(score_dtype)
     totals = jax.lax.dot_general(
         per_tok, summer,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -56,23 +62,32 @@ def _maxsim_kernel(q_ref, d_ref, bias_ref, out_ref, *, B_blk, C_blk, L_q, L_d, d
 
 
 @functools.partial(
-    jax.jit, static_argnames=("B_blk", "C_blk", "interpret")
+    jax.jit, static_argnames=("B_blk", "C_blk", "interpret", "score_dtype")
 )
 def maxsim_scores_pallas(
     Q: jax.Array,
     D: jax.Array,
-    mask: jax.Array,
+    mask: Optional[jax.Array] = None,
     B_blk: int = 8,
     C_blk: int = 8,
     interpret: bool = False,
+    score_dtype=jnp.float32,
 ) -> jax.Array:
     """All-pairs MaxSim totals.
 
     Args:
       Q: [B, L_q, dim] (bf16/f32), zero rows for masked query tokens.
       D: [N, L_d, dim] padded doc embeddings.
-      mask: [N, L_d] bool doc-token validity.
+      mask: [N, L_d] bool doc-token validity, or None for an unpadded corpus
+        (every doc exactly L_d real tokens — e.g. the fixed-length serving
+        index): skips the bias operand and its VPU pass over the score block.
       B_blk/C_blk: tile sizes (B % B_blk == 0, N % C_blk == 0 required).
+      score_dtype: element type of the in-VMEM token-score block. The MXU
+        accumulates fp32 either way and the final per-query sum is fp32;
+        ``jnp.bfloat16`` halves the VPU traffic of the mask/max passes (the
+        kernel's bound at retrieval shapes) at ~0.4% worst-case total error
+        (96 maxima quantized to 8-bit mantissa) — max() itself is exact in
+        any monotone rounding.
 
     Returns:
       [B, N] fp32 score matrix.
@@ -91,21 +106,28 @@ def maxsim_scores_pallas(
         "limit; scan over doc slabs (see engine/search._local_search)"
     )
 
-    bias = jnp.where(mask, 0.0, MASK_FILL_VALUE).astype(jnp.float32)
-    bias = bias.reshape(N * L_d, 1)
-
     kernel = functools.partial(
-        _maxsim_kernel, B_blk=B_blk, C_blk=C_blk, L_q=L_q, L_d=L_d, dim=dim
+        _maxsim_kernel, B_blk=B_blk, C_blk=C_blk, L_q=L_q, L_d=L_d, dim=dim,
+        score_dtype=jnp.dtype(score_dtype),
     )
     grid = (N // C_blk, B // B_blk)
+    in_specs = [
+        pl.BlockSpec((B_blk, L_q, dim), lambda c, b: (b, 0, 0)),
+        pl.BlockSpec((C_blk, L_d, dim), lambda c, b: (c, 0, 0)),
+    ]
+    args = [Q, D]
+    if mask is not None:
+        bias = jnp.where(mask, 0.0, MASK_FILL_VALUE).astype(jnp.float32)
+        args.append(bias.reshape(N * L_d, 1))
+        in_specs.append(pl.BlockSpec((C_blk * L_d, 1), lambda c, b: (c, 0)))
+    else:
+        masked_kernel = kernel
+        kernel = lambda q_ref, d_ref, out_ref: masked_kernel(
+            q_ref, d_ref, None, out_ref)
     out4 = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((B_blk, L_q, dim), lambda c, b: (b, 0, 0)),
-            pl.BlockSpec((C_blk, L_d, dim), lambda c, b: (c, 0, 0)),
-            pl.BlockSpec((C_blk * L_d, 1), lambda c, b: (c, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, C_blk, B_blk), lambda c, b: (c, b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(
             (N // C_blk, B // B_blk, C_blk, B_blk), jnp.float32
@@ -120,7 +142,7 @@ def maxsim_scores_pallas(
             ),
             transcendentals=0,
         ),
-    )(Q, D, bias)
+    )(*args)
     # [n_c, n_b, C_blk, B_blk] → [B, N]
     return jnp.transpose(out4, (1, 3, 0, 2)).reshape(B, N)
 
