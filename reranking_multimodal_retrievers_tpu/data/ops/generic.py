@@ -75,8 +75,11 @@ class SplitHFDatasetToTrainTestValidation(HFDatasetTransform):
     def setup(self, test_size, valid_size=None, train_test_split_kwargs=None,
               **kwargs):
         self.test_size = test_size
-        self.valid_size = valid_size
-        self.total = test_size + valid_size if valid_size else test_size
+        # valid_size=0 means "no validation split", same as None — keep the
+        # truthiness convention consistent between setup and _call (a 0 that
+        # only half-registered used to crash train_test_split(test_size=0))
+        self.valid_size = valid_size or None
+        self.total = test_size + (self.valid_size or 0)
         self.split_kwargs = train_test_split_kwargs or {}
         return self
 

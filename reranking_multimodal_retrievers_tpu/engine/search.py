@@ -52,11 +52,13 @@ def _local_search(Q, D, M, *, k: int, chunk: int, use_pallas: bool = False,
     175 for the XLA scan on the 32-query × 3200-doc rerank shape); the XLA
     chunked scan is the portable fallback.
 
-    ``unpadded=True`` (every doc exactly L_d real tokens) drops the mask
-    operand from the kernel, and ``score_dtype=jnp.bfloat16`` halves the VPU
-    bytes of its reduction passes — at the 100k×256 retrieval shape the
-    kernel is VPU-bound, not HBM- or MXU-bound (see `bench.py`
-    ``bench_retrieval`` roofline), so both directly raise QPS.
+    ``unpadded=True`` (every REAL doc exactly L_d real tokens) drops the
+    per-token mask operand from the kernel, and ``score_dtype=jnp.bfloat16``
+    halves the VPU bytes of its reduction passes — at the 100k×256 retrieval
+    shape the kernel is VPU-bound, not HBM- or MXU-bound (see `bench.py`
+    ``bench_retrieval`` roofline), so both directly raise QPS. Whole-padding
+    docs (all-False mask rows) are still excluded from top-k via a cheap
+    per-doc pass, so the knob is safe on a padded sharded ``TokenIndex``.
     """
     n_local = D.shape[0]
     B = Q.shape[0]
@@ -123,6 +125,15 @@ def _local_search(Q, D, M, *, k: int, chunk: int, use_pallas: bool = False,
                 scores = jnp.moveaxis(per_slab, 0, 1).reshape(B, n_local)
     else:
         scores = _xla_chunk_scores(Q, D, M, n_local, chunk)
+    if unpadded:
+        # ``unpadded`` skips the per-TOKEN mask, but whole-padding DOCS
+        # (all-False mask rows — the doc-axis padding every sharded
+        # TokenIndex carries, `engine/index.py`) must still never reach
+        # top-k: without this they score exactly 0 and would outrank real
+        # docs with negative MaxSim totals. One [N]-bool reduce + [B, N]
+        # select is negligible next to the scoring scan.
+        scores = jnp.where(jnp.any(M, axis=1)[None, :], scores,
+                           MASK_FILL_VALUE * Q.shape[1])
     vals, idx = jax.lax.top_k(scores, k)
     return vals, idx
 
@@ -144,11 +155,9 @@ def _xla_chunk_scores(Q, D, M, n_local, chunk):
 def default_use_pallas() -> bool:
     """The fused Pallas kernel is the default scoring path on TPU backends;
     the XLA chunked scan everywhere else (CPU tests, interpret mode)."""
-    try:
-        plat = jax.devices()[0].platform.lower()
-    except Exception:  # backend init failure — stay portable
-        return False
-    return "tpu" in plat or "axon" in plat
+    from ..ops.platform import is_tpu_backend
+
+    return is_tpu_backend()
 
 
 def make_search_fn(mesh: Optional[Mesh], n_padded_docs: int, k: int,

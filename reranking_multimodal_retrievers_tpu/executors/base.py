@@ -255,9 +255,17 @@ class BaseExecutor(MetricsProcessor):
             f.write(json.dumps(entry) + "\n")
 
     def save_checkpoint(self, metrics: Optional[Dict[str, float]] = None):
+        # a metric-less save at a step that already has a checkpoint (e.g.
+        # the unconditional final save right after the last epoch's
+        # validation save) would rewrite the same step_N dir and append a
+        # duplicate empty-metrics index entry — skip it. A metrics-carrying
+        # save still goes through (it upgrades the entry's bookkeeping).
+        if metrics is None and getattr(self, "_last_saved_step", None) == self.global_step:
+            return
         state = self.state_to_save()
         if state is not None:
             self.ckpt_manager.save(state, self.global_step, metrics=_floats(metrics))
+            self._last_saved_step = self.global_step
 
     def state_to_save(self):
         return None

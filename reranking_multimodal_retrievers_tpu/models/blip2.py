@@ -280,25 +280,32 @@ class Blip2ForConditionalGeneration(nn.Module):
         query_out = self.qformer(image_embeds)
         return self.language_projection(query_out)
 
+    def _prepend_vision_prefix(self, text_embeds, attention_mask,
+                               pixel_values, vision_prefix):
+        """[vision prefix ; text] embeds + combined mask — the ONE place the
+        prefix concat lives (generation encode, causal LM, seq2seq forward
+        all share it). ``vision_prefix`` short-circuits the vision+Q-Former
+        path with precomputed prefix embeddings (candidate-scoring computes
+        them once per image and broadcasts over candidates)."""
+        if vision_prefix is None and pixel_values is not None:
+            vision_prefix = self.vision_prefix(pixel_values)
+        if vision_prefix is None:
+            return text_embeds, attention_mask
+        inputs_embeds = jnp.concatenate(
+            [vision_prefix.astype(text_embeds.dtype), text_embeds], axis=1
+        )
+        prefix_mask = jnp.ones(vision_prefix.shape[:2], attention_mask.dtype)
+        return inputs_embeds, jnp.concatenate(
+            [prefix_mask, attention_mask], axis=1)
+
     def encode_for_generation(self, input_ids, attention_mask,
                               pixel_values=None, vision_prefix=None):
         """Encoder states + mask with the vision prefix prepended — the
         encode half of HF ``generate`` (caption mining,
-        `infoseek_data_ops.py:673-770`). ``vision_prefix`` short-circuits
-        the vision+Q-Former path with precomputed prefix embeddings (the
-        candidate-scoring path computes them once per image)."""
+        `infoseek_data_ops.py:673-770`)."""
         lm = self.language_model
-        text_embeds = lm.shared(input_ids)
-        if vision_prefix is None and pixel_values is not None:
-            vision_prefix = self.vision_prefix(pixel_values)
-        if vision_prefix is not None:
-            inputs_embeds = jnp.concatenate(
-                [vision_prefix.astype(text_embeds.dtype), text_embeds], axis=1
-            )
-            prefix_mask = jnp.ones(vision_prefix.shape[:2], attention_mask.dtype)
-            attention_mask = jnp.concatenate([prefix_mask, attention_mask], axis=1)
-        else:
-            inputs_embeds = text_embeds
+        inputs_embeds, attention_mask = self._prepend_vision_prefix(
+            lm.shared(input_ids), attention_mask, pixel_values, vision_prefix)
         enc = lm.encode(inputs_embeds=inputs_embeds, attention_mask=attention_mask)
         return enc, attention_mask
 
@@ -326,17 +333,9 @@ class Blip2ForConditionalGeneration(nn.Module):
         :meth:`causal_lm_logits`)."""
         assert self.config.use_decoder_only_language_model
         lm = self.language_model
-        text_embeds = lm.embed_tokens(input_ids)
-        if vision_prefix is None and pixel_values is not None:
-            vision_prefix = self.vision_prefix(pixel_values)
-        if vision_prefix is not None:
-            inputs_embeds = jnp.concatenate(
-                [vision_prefix.astype(text_embeds.dtype), text_embeds], axis=1
-            )
-            prefix_mask = jnp.ones(vision_prefix.shape[:2], attention_mask.dtype)
-            attention_mask = jnp.concatenate([prefix_mask, attention_mask], axis=1)
-        else:
-            inputs_embeds = text_embeds
+        inputs_embeds, attention_mask = self._prepend_vision_prefix(
+            lm.embed_tokens(input_ids), attention_mask, pixel_values,
+            vision_prefix)
         hidden = lm.hidden_states(inputs_embeds=inputs_embeds,
                                   attention_mask=attention_mask)
         return None, hidden, attention_mask
@@ -352,21 +351,7 @@ class Blip2ForConditionalGeneration(nn.Module):
 
     def __call__(self, input_ids, attention_mask, decoder_input_ids,
                  pixel_values=None, vision_prefix=None):
-        """``vision_prefix`` short-circuits the vision+Q-Former path with
-        precomputed prefix embeddings (the chunked rerank path computes them
-        once per image and broadcasts over candidates)."""
-        cfg = self.config
-        lm = self.language_model
-        text_embeds = lm.shared(input_ids)
-        if vision_prefix is None and pixel_values is not None:
-            vision_prefix = self.vision_prefix(pixel_values)
-        if vision_prefix is not None:
-            inputs_embeds = jnp.concatenate(
-                [vision_prefix.astype(text_embeds.dtype), text_embeds], axis=1
-            )
-            prefix_mask = jnp.ones(vision_prefix.shape[:2], attention_mask.dtype)
-            attention_mask = jnp.concatenate([prefix_mask, attention_mask], axis=1)
-        else:
-            inputs_embeds = text_embeds
-        enc = lm.encode(inputs_embeds=inputs_embeds, attention_mask=attention_mask)
-        return lm.decode(decoder_input_ids, enc, attention_mask)
+        enc, attention_mask = self.encode_for_generation(
+            input_ids, attention_mask, pixel_values, vision_prefix)
+        return self.language_model.decode(decoder_input_ids, enc,
+                                          attention_mask)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import re
+import zlib
 from typing import Dict
 
 import numpy as np
@@ -166,7 +167,9 @@ def _t5_linear(sd, torch_name, lora_r: int = 0):
     p = {"kernel": np.ascontiguousarray(w.T)}
     if lora_r <= 0:
         return p
-    rng = np.random.default_rng(abs(hash(torch_name)) % (2**32))
+    # crc32, not hash(): str hash is salted per process, which would make
+    # the synthesized lora_a differ on every run (irreproducible bridges)
+    rng = np.random.default_rng(zlib.crc32(torch_name.encode()))
     return {
         "base": p,
         "lora_a": (rng.normal(0, 1e-2, size=(w.shape[1], lora_r))).astype(w.dtype),
@@ -257,7 +260,9 @@ def _opt_linear(sd, torch_name, lora_r: int = 0):
     if lora_r <= 0:
         return p
     w = sd[f"{torch_name}.weight"]  # torch [out, in]
-    rng = np.random.default_rng(abs(hash(torch_name)) % (2**32))
+    # crc32, not hash(): str hash is salted per process, which would make
+    # the synthesized lora_a differ on every run (irreproducible bridges)
+    rng = np.random.default_rng(zlib.crc32(torch_name.encode()))
     return {
         "base": p,
         "lora_a": rng.normal(0, 1e-2, size=(w.shape[1], lora_r)).astype(w.dtype),

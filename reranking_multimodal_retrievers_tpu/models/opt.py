@@ -9,7 +9,7 @@ scores:
 
 - learned positional embeddings with the OPT **offset of 2** and positions
   derived from the attention mask (``cumsum(mask)·mask − 1``), so padded
-  rows repeat position 0 — HF ``OPTLearnedPositionalEmbedding``;
+  rows sit at −1 → embedding row 1 — HF ``OPTLearnedPositionalEmbedding``;
 - pre-LN decoder blocks (``do_layer_norm_before=True`` for opt-2.7b):
   LN → self-attention → residual, LN → fc1 → ReLU → fc2 → residual; all
   projections carry biases (``enable_bias``);
@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.platform import head_pack_feasible, is_tpu_backend
 from .bert import ATTN_MASK_BIAS
 from .lora import LoRADense
 
@@ -88,10 +89,11 @@ class OPTConfig:
 
 def opt_positions(attention_mask: jnp.ndarray) -> jnp.ndarray:
     """HF ``OPTLearnedPositionalEmbedding.forward``: positions count only
-    real tokens; padding repeats position 0 after the −1/clamp."""
+    real tokens; padded rows stay at −1, which the caller's +2 offset maps
+    to embedding row 1 — exactly HF's padded-row lookup (row 0 would be a
+    silent divergence for any consumer of full hidden states)."""
     mask = attention_mask.astype(jnp.int32)
-    positions = jnp.cumsum(mask, axis=1) * mask - 1
-    return jnp.maximum(positions, 0)
+    return jnp.cumsum(mask, axis=1) * mask - 1
 
 
 class OPTAttention(nn.Module):
@@ -114,7 +116,8 @@ class OPTAttention(nn.Module):
         k = nn.Dense(H, name="k_proj")(x)
         v = qv_dense("v_proj")(x)
         if (cfg.use_pallas_attention and key_mask is not None
-                and L % 8 == 0 and _pallas_ok()):
+                and L % 8 == 0 and head_pack_feasible(nh, hd)
+                and is_tpu_backend()):
             # layout-native fused kernel with the causal mask synthesized
             # in-register (ops/attention_pallas.py): the [B, heads, L, L]
             # score tensors never touch HBM
@@ -136,14 +139,6 @@ class OPTAttention(nn.Module):
         ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
         return nn.Dense(H, name="out_proj")(ctx.reshape(B, L, H))
-
-
-def _pallas_ok() -> bool:
-    try:
-        plat = jax.devices()[0].platform.lower()
-    except Exception:
-        return False
-    return "tpu" in plat or "axon" in plat
 
 
 class OPTDecoderLayer(nn.Module):

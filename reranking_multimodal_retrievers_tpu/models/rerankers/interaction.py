@@ -73,13 +73,16 @@ class MORESSym(nn.Module):
     ``attention_adj`` extends the reference: `mores_model.py:74-75` raises
     ``NotImplementedError`` even though `interaction_rerank_model.py:131-156`
     builds and passes the fusion bias, so fusion×MORES is dead upstream.
-    Here the full ``[B, Lq+Lc, Lq+Lc]`` fusion block (`fusion_attention_adj`)
-    is decomposed onto MORES's factored attention: the query→doc block
-    ``adj[:, :Lq, Lq:]`` biases every layer's cross-attention and the
-    query→query block ``adj[:, :Lq, :Lq]`` biases self-attention, both added
-    pre-softmax exactly like the CrossEncoder path (`attention_fusion.py:84-102`).
-    Doc rows are K/V-only in MORES, so the bottom blocks (zeros in the
-    fusion construction) have no attachment point and are ignored."""
+    Here the ``[B, Lq+Lc, Lq+Lc]`` fusion bias (`fusion_attention_adj`:
+    zero diagonal blocks, softmaxed cross blocks) is decomposed onto MORES's
+    factored attention: the query→doc block ``adj[:, :Lq, Lq:]`` biases
+    every layer's cross-attention pre-softmax, exactly like the CrossEncoder
+    path (`attention_fusion.py:84-102`). The diagonal blocks are zero by
+    construction, so self-attention takes no bias; the doc→query block
+    ``adj[:, Lq:, :Lq]`` — non-zero — has NO attachment point, because doc
+    rows are K/V-only in MORES and never attend to anything. Fusion×MORES
+    therefore carries exactly the query-side half of the fusion signal; use
+    the CrossEncoder interaction type when both directions matter."""
 
     config: BertConfig
 
@@ -89,7 +92,6 @@ class MORESSym(nn.Module):
         qb = additive_mask(qry_mask)
         db = additive_mask(cross_mask)
         if attention_adj is not None:
-            qb = qb + attention_adj[:, None, :Lq, :Lq]
             db = db + attention_adj[:, None, :Lq, Lq:]
         hidden = qry
         for i in range(self.config.num_hidden_layers):

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.platform import is_tpu_backend
 from .bert import ATTN_MASK_BIAS
 from .lora import LoRADense
 
@@ -174,12 +175,12 @@ class T5Attention(nn.Module):
     def _can_fuse(self, kv, key_mask) -> bool:
         """Pallas path: encoder self-attention with head geometry that packs
         ≥128 lanes per grid step (`ops/attention_pallas.py` constraint)."""
+        from ..ops.platform import head_pack_feasible
+
         cfg = self.config
         if not (cfg.use_pallas_attention and kv is None and self.bidirectional):
             return False
-        hd = cfg.d_kv
-        hpb = max(1, -(-128 // hd))
-        return cfg.num_heads % hpb == 0 and (hpb * hd) % 128 == 0
+        return head_pack_feasible(cfg.num_heads, cfg.d_kv)
 
     @nn.compact
     def __call__(self, x, kv=None, mask_bias=None, position_bias=None,
@@ -290,7 +291,7 @@ class T5Attention(nn.Module):
                 q2, k2, v2, key_mask, head_bias,
                 num_heads=nh, sm_scale=1.0,  # T5 folds 1/sqrt(dk) into init
                 # interpret mode keeps the flag usable (if slow) off-TPU
-                interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+                interpret=not is_tpu_backend(),
             )
             out = nn.Dense(cfg.d_model, use_bias=False, name="o")(ctx2)
             return out, position_bias

@@ -149,15 +149,29 @@ class RerankService:
         )
 
     def _run(self, items):
+        # A coalesced group may mix requests WITH and WITHOUT pixel_values.
+        # Zero-filled images are NOT equivalent to "no vision prefix" (conv
+        # bias + layernorm + learned query tokens make vision_prefix(zeros)
+        # non-zero), so a no-pix request's score must not depend on its
+        # batch companions: partition into homogeneous subgroups and run
+        # each through the device program separately. token_type_ids stays
+        # zero-fillable — zeros ARE its defined default.
+        with_pix = [i for i, it in enumerate(items) if it[3] is not None]
+        without = [i for i, it in enumerate(items) if it[3] is None]
+        if with_pix and without:
+            out = [None] * len(items)
+            for idxs in (with_pix, without):
+                res = self._run_group([items[i] for i in idxs])
+                for j, i in enumerate(idxs):
+                    out[i] = res[j]
+            return out
+        return self._run_group(items)
+
+    def _run_group(self, items):
         import jax.numpy as jnp
 
         n = len(items)
         B = self.max_batch  # static geometry: always pad to the full batch
-        # A coalesced group may mix requests with and without the optional
-        # inputs (token_type_ids / pixel_values). The device program has ONE
-        # static signature, so per-item absences are zero-filled rather than
-        # inferred from items[0] — a mixed group must not crash or silently
-        # adopt the first item's convention.
         ids = np.concatenate([it[0] for it in items])
         am = np.concatenate([it[1] for it in items])
         tt = np.concatenate([
@@ -175,16 +189,13 @@ class RerankService:
         pix = None
         pix_items = [it[3] for it in items if it[3] is not None]
         if pix_items:
+            # _run partitioned by pix-presence, so every item carries one
+            assert len(pix_items) == len(items)
             shapes = {p.shape for p in pix_items}
             if len(shapes) > 1:
                 raise ValueError(
                     f"mixed pixel_values shapes in one batch group: {shapes}")
-            proto = pix_items[0]
-            pix = np.stack([
-                it[3] if it[3] is not None
-                else np.zeros(proto.shape, proto.dtype)
-                for it in items
-            ])
+            pix = np.stack(pix_items)
             if pad_rows:
                 pix = np.concatenate(
                     [pix, np.zeros((B - n,) + pix.shape[1:], pix.dtype)])

@@ -64,6 +64,13 @@ class CheckpointManager:
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, _tree_to_numpy(state))
         entry = {"name": name, "step": step, "metrics": metrics or {}}
+        # re-saving a name (e.g. an interval save and a validation save
+        # landing on the same step) replaces its entry — the on-disk dir was
+        # just rewritten above, so a second index row would be a dangling
+        # duplicate that also double-counts against top-k pruning
+        self._index["checkpoints"] = [
+            c for c in self._index["checkpoints"] if c["name"] != name
+        ]
         self._index["checkpoints"].append(entry)
         self._index["last"] = name
         score = (metrics or {}).get(self.monitor) if self.monitor else None

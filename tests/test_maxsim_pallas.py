@@ -379,3 +379,24 @@ def test_search_unpadded_bf16_topk_agreement():
     v2, i2 = _local_search(Q, D, M, k=k, chunk=16, unpadded=True,
                            score_dtype=jnp.bfloat16)
     np.testing.assert_array_equal(np.asarray(exact_i), np.asarray(i2))
+
+
+def test_search_unpadded_excludes_padding_docs():
+    """`unpadded=True` skips only the per-TOKEN mask; whole-padding docs
+    (all-False mask rows, the doc-axis padding a sharded TokenIndex adds)
+    must still never reach top-k — even when every real doc scores negative
+    (padding docs would otherwise win with their raw 0 totals)."""
+    from reranking_multimodal_retrievers_tpu.engine.search import (
+        _local_search,
+    )
+
+    rng = np.random.default_rng(5)
+    B, N, L_q, L_d, dim, k = 8, 64, 8, 16, 128, 8
+    # all-negative dot products: every real MaxSim total < 0
+    Q = jnp.asarray(-np.abs(rng.normal(size=(B, L_q, dim))), jnp.float32)
+    D = jnp.asarray(np.abs(rng.normal(size=(N, L_d, dim))), jnp.float32)
+    M = np.ones((N, L_d), bool)
+    M[N - 6:] = False  # 6 padding docs at the tail
+    M = jnp.asarray(M)
+    _, idx = _local_search(Q, D, M, k=k, chunk=16, unpadded=True)
+    assert int(np.asarray(idx).max()) < N - 6

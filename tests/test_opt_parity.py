@@ -62,8 +62,8 @@ def io():
 def test_opt_positions_hf_semantics():
     am = np.array([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]])
     pos = np.asarray(opt_positions(jnp.asarray(am)))
-    # HF: cumsum(mask)*mask - 1 (clamped); pads repeat position 0
-    np.testing.assert_array_equal(pos, [[0, 1, 2, 0, 0], [0, 1, 2, 3, 4]])
+    # HF: cumsum(mask)*mask - 1; pads sit at -1 (embedding row 1 after +2)
+    np.testing.assert_array_equal(pos, [[0, 1, 2, -1, -1], [0, 1, 2, 3, 4]])
 
 
 def test_opt_pre_ln_parity(io):

@@ -182,15 +182,18 @@ def test_close_fails_pending_and_rejects_new():
 
 
 def test_rerank_service_mixed_optional_inputs():
-    """A coalesced group mixing requests with and without token_type_ids /
-    pixel_values must zero-fill per item, not crash or adopt items[0]'s
-    convention (ADVICE r1)."""
+    """A coalesced group mixing requests WITH and WITHOUT pixel_values must
+    split into homogeneous device calls: zero-filled images are not "no
+    vision prefix" (vision_prefix(zeros) != nothing), so a no-pix request's
+    score must be independent of its batch companions. token_type_ids
+    zero-fills in place — zeros are its defined default (ADVICE r1 +
+    round-2 review)."""
     K, L, B = 2, 4, 4
-    captured = {}
+    calls = []
 
     def rerank_fn(params, ids, am, tt, pix):
-        captured["tt"] = np.asarray(tt)
-        captured["pix"] = None if pix is None else np.asarray(pix)
+        calls.append((np.asarray(tt),
+                      None if pix is None else np.asarray(pix)))
         return jnp.zeros((B * K,), jnp.float32)
 
     svc = RerankService(rerank_fn, params={}, nway=K, max_batch=B,
@@ -199,16 +202,19 @@ def test_rerank_service_mixed_optional_inputs():
     am = np.ones((K, L), np.int32)
     tt = np.full((K, L), 7, np.int32)
     pix = np.ones((3, 8, 8), np.float32)
-    # first item HAS both optionals, second has NEITHER — items[0]-based
-    # inference would zero-fill nothing / crash on np.stack(None)
+    # first item HAS both optionals, second has NEITHER — one coalesced
+    # group, two homogeneous device calls
     f1 = svc.rerank(ids, am, token_type_ids=tt, pixel_values=pix)
     f2 = svc.rerank(ids * 2, am)
     f1.result(timeout=5), f2.result(timeout=5)
     svc.close()
-    assert captured["tt"][:K].max() == 7          # item 1's tt kept
-    assert captured["tt"][K:2 * K].max() == 0     # item 2 zero-filled
-    assert captured["pix"] is not None
-    assert captured["pix"][0].max() == 1.0 and captured["pix"][1].max() == 0.0
+    assert len(calls) == 2
+    pix_calls = [c for c in calls if c[1] is not None]
+    nopix_calls = [c for c in calls if c[1] is None]
+    assert len(pix_calls) == 1 and len(nopix_calls) == 1
+    assert pix_calls[0][0][:K].max() == 7      # item 1's tt kept
+    assert pix_calls[0][1][0].max() == 1.0     # item 1's real image
+    assert nopix_calls[0][0].max() == 0        # item 2: tt zero-filled
 
     # heterogeneous pixel SHAPES are a hard error, not silent corruption
     def rerank_fn2(params, ids, am, tt, pix):
