@@ -71,6 +71,8 @@ def main_driver():
                     help="tiny epochs for a smoke pass")
     ap.add_argument("--skip-retriever", action="store_true",
                     help="reuse existing retriever ckpt + static retrieval")
+    ap.add_argument("--encoder-only", action="store_true",
+                    help="skip the decoder (monoBLIP2-Opt) reranker stage")
     args = ap.parse_args()
 
     epochs = "1" if args.quick else "12"
@@ -113,23 +115,31 @@ def main_driver():
         print(f"[synth] static retrieval for {len(static)} queries -> "
               f"{STATIC_PATH}")
 
-    # 4. reranker training on retrieved docs
-    run(["--config", "configs/synth_rerank_full_context.json",
-         "--mode", "train",
-         "--opts", f"train.trainer_paras.max_epochs={rr_epochs}"])
-    rr_dir = latest_version("synth_rerank_full_context")
+    # 4+5 per reranker family: train on retrieved docs, rerank the test
+    # split, assert rerank beats the raw retrieval order. The decoder
+    # (monoBLIP2-Opt yes/no) family is the reference's best model
+    # (`plots.ipynb` cell 16, R@5 0.40) — demonstrating its learning
+    # dynamics too, not just the encoder family's.
+    families = [("synth_rerank_full_context", rr_epochs)]
+    if not args.encoder_only:
+        families.append(("synth_rerank_decoder_blip2_opt",
+                         "1" if args.quick else "4"))
+    for exp, ep in families:
+        run(["--config", f"configs/{exp}.json", "--mode", "train",
+             "--opts", f"train.trainer_paras.max_epochs={ep}"])
+        rr_dir = latest_version(exp)
 
-    # 5. rerank the test split
-    run(["--config", "configs/synth_rerank_full_context.json",
-         "--mode", "test", "--opts", f"meta.experiment_dir='{rr_dir}'"])
-    dump = json.load(open(os.path.join(rr_dir,
-                                       "test_predictions_rank_0.json")))
-    m = dump["metrics"]
-    print(json.dumps({k: v for k, v in m.items() if "recall" in k}, indent=1))
-    r5, raw5 = m["recall_at_5"], m["raw_recall_at_5"]
-    print(f"[synth] PRRecall@5 rerank={r5:.4f} raw={raw5:.4f} "
-          f"delta={r5 - raw5:+.4f}")
-    assert r5 > raw5, "reranker did not beat raw retrieval order"
+        run(["--config", f"configs/{exp}.json", "--mode", "test",
+             "--opts", f"meta.experiment_dir='{rr_dir}'"])
+        dump = json.load(open(os.path.join(rr_dir,
+                                           "test_predictions_rank_0.json")))
+        m = dump["metrics"]
+        print(json.dumps({k: v for k, v in m.items() if "recall" in k},
+                         indent=1))
+        r5, raw5 = m["recall_at_5"], m["raw_recall_at_5"]
+        print(f"[synth] {exp} PRRecall@5 rerank={r5:.4f} raw={raw5:.4f} "
+              f"delta={r5 - raw5:+.4f}")
+        assert r5 > raw5, f"{exp} did not beat raw retrieval order"
     return 0
 
 
