@@ -35,7 +35,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from reranking_multimodal_retrievers_tpu.cli.main import main  # noqa: E402
 
-STATIC_PATH = "experiments/synth_static_retrieval.json"
+# --scale big: 4000 pairs / 80k passages / 10240-word vocab — the scale at
+# which the DECODER rerankers generalize (at the default 1500-pair scale a
+# 2-layer causal LM memorizes the ~1000 train keys instead of learning the
+# key-matching circuit; the bidirectional cross-encoder generalizes at both)
+SCALES = {
+    "default": {"suffix": "", "static": "experiments/synth_static_retrieval.json"},
+    "big": {"suffix": "_big",
+            "static": "experiments/synth_static_retrieval_big.json"},
+}
 
 
 def run(args_list):
@@ -52,15 +60,15 @@ def latest_version(exp_name: str) -> str:
     return os.path.join(base, versions[-1])
 
 
-def make_train_split_config() -> str:
+def make_train_split_config(suffix: str = "") -> str:
     """synth_flmr variant whose test loader serves the TRAIN queries (for
     mining the reranker's training retrieval lists)."""
-    cfg = json.load(open("configs/synth_flmr.json"))
+    cfg = json.load(open(f"configs/synth_flmr{suffix}.json"))
     ds_cfg = cfg["data_pipeline"]["transforms"]["output:PrepareDataloaders"][
         "setup_kwargs"]["datasets_config"]
     ds_cfg["test"][0]["split"] = "train"
-    cfg["meta"]["experiment_name"] = "synth_flmr_trainsplit"
-    path = "configs/_generated_synth_flmr_trainsplit.json"
+    cfg["meta"]["experiment_name"] = f"synth_flmr{suffix}_trainsplit"
+    path = f"configs/_generated_synth_flmr{suffix}_trainsplit.json"
     json.dump(cfg, open(path, "w"), indent=2)
     return path
 
@@ -73,20 +81,28 @@ def main_driver():
                     help="reuse existing retriever ckpt + static retrieval")
     ap.add_argument("--encoder-only", action="store_true",
                     help="skip the decoder (monoBLIP2-Opt) reranker stage")
+    ap.add_argument("--scale", choices=sorted(SCALES), default="default",
+                    help="task scale; 'big' uses the *_big configs")
+    ap.add_argument("--families", default=None,
+                    help="comma-separated config basenames (sans scale "
+                         "suffix) overriding the default family list, e.g. "
+                         "'synth_rerank_decoder_blip2_t5'")
     args = ap.parse_args()
 
-    epochs = "1" if args.quick else "12"
-    rr_epochs = "1" if args.quick else "4"
+    sc = SCALES[args.scale]
+    sfx, static_path = sc["suffix"], sc["static"]
+    epochs = "1" if args.quick else ("8" if sfx else "12")
+    rr_epochs = "1" if args.quick else ("3" if sfx else "4")
 
     if not args.skip_retriever:
         # 1. retriever training
-        run(["--config", "configs/synth_flmr.json", "--mode", "train",
+        run(["--config", f"configs/synth_flmr{sfx}.json", "--mode", "train",
              "--opts", f"train.trainer_paras.max_epochs={epochs}"])
-        flmr_dir = latest_version("synth_flmr")
+        flmr_dir = latest_version(f"synth_flmr{sfx}")
         print(f"[synth] retriever trained -> {flmr_dir}")
 
         # 2a. retrieve for the TEST split
-        run(["--config", "configs/synth_flmr.json", "--mode", "test",
+        run(["--config", f"configs/synth_flmr{sfx}.json", "--mode", "test",
              "--opts", f"meta.experiment_dir='{flmr_dir}'"])
         # 2b. retrieve for the TRAIN split (fresh experiment dir, explicit
         # checkpoint path — resolution order `experiment.py:483-514`)
@@ -96,10 +112,10 @@ def main_driver():
 
         ckpt = CheckpointManager(os.path.join(flmr_dir, "ckpts")).resolve()
         assert ckpt, f"no checkpoint under {flmr_dir}/ckpts"
-        tcfg = make_train_split_config()
+        tcfg = make_train_split_config(sfx)
         run(["--config", tcfg, "--mode", "test",
              "--opts", f"test.load_model_path='{ckpt}'"])
-        train_dir = latest_version("synth_flmr_trainsplit")
+        train_dir = latest_version(f"synth_flmr{sfx}_trainsplit")
 
         # 3. merge into static retrieval
         static = {}
@@ -110,20 +126,26 @@ def main_driver():
                 static[str(entry["question_id"])] = entry[
                     "top_ranking_passages"]
         os.makedirs("experiments", exist_ok=True)
-        with open(STATIC_PATH, "w") as f:
+        with open(static_path, "w") as f:
             json.dump(static, f)
         print(f"[synth] static retrieval for {len(static)} queries -> "
-              f"{STATIC_PATH}")
+              f"{static_path}")
 
     # 4+5 per reranker family: train on retrieved docs, rerank the test
     # split, assert rerank beats the raw retrieval order. The decoder
     # (monoBLIP2-Opt yes/no) family is the reference's best model
     # (`plots.ipynb` cell 16, R@5 0.40) — demonstrating its learning
     # dynamics too, not just the encoder family's.
-    families = [("synth_rerank_full_context", rr_epochs)]
-    if not args.encoder_only:
-        families.append(("synth_rerank_decoder_blip2_opt",
-                         "1" if args.quick else "4"))
+    dec_epochs = "1" if args.quick else ("6" if sfx else "4")
+    if args.families:
+        families = [(f"{name}{sfx}",
+                     rr_epochs if "full_context" in name else dec_epochs)
+                    for name in args.families.split(",") if name]
+    else:
+        families = [(f"synth_rerank_full_context{sfx}", rr_epochs)]
+        if not args.encoder_only:
+            families.append((f"synth_rerank_decoder_blip2_opt{sfx}",
+                             dec_epochs))
     for exp, ep in families:
         run(["--config", f"configs/{exp}.json", "--mode", "train",
              "--opts", f"train.trainer_paras.max_epochs={ep}"])
