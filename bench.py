@@ -435,14 +435,12 @@ def bench_blip2_opt():
 
         def chunk(c, xs):
             ci, cam = xs
-            _, hidden, _ = blip2.apply(
+            rel = blip2.apply(
                 {"params": p}, ci + c, cam,
-                method=Blip2ForConditionalGeneration.causal_lm_hidden,
+                method=Blip2ForConditionalGeneration.causal_last_hidden,
                 vision_prefix=prefix_c,
             )
-            last = prefix.shape[1] + jnp.sum(cam, axis=1) - 1
-            rel = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
-            return c, rel[:, 0, :]
+            return c, rel
 
         _, rels = jax.lax.scan(
             chunk, carry,

@@ -62,6 +62,16 @@ class LoadHFDataset(BaseTransform):
             ds = datasets.load_from_disk(url)
         else:
             ds = datasets.load_dataset(url)
+        if self.fields:  # project to the requested columns only
+            if isinstance(ds, (datasets.DatasetDict, dict)):
+                ds = datasets.DatasetDict({
+                    k: v.select_columns(
+                        [f for f in self.fields if f in v.column_names])
+                    for k, v in ds.items()
+                })
+            else:
+                ds = ds.select_columns(
+                    [f for f in self.fields if f in ds.column_names])
         if self.use_dummy_data:
             ds = HFDatasetTransform(use_dummy_data=True).truncate_for_dummy(ds)
         return ds
@@ -120,7 +130,11 @@ class HFDatasetTokenizeTransform(HFDatasetTransform):
         return self
 
     def _call(self, data):
-        results = {}
+        # splits not selected for tokenization pass through unchanged —
+        # this repo's DatasetDicts carry 'valid' and '*_passages' tables
+        # alongside train/test, and dropping them would break downstream
+        # corpus/validation nodes
+        results = {k: v for k, v in data.items()}
         for split in self.splits:
             if split not in data:
                 continue

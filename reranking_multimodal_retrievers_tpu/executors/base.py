@@ -228,11 +228,13 @@ class BaseExecutor(MetricsProcessor):
                   or self.config.get_path("eval_pipeline"))
         if not ep_cfg:
             return rec
+        # a fresh pipeline per eval pass — its in-memory cache starts empty,
+        # so every pass re-runs all transforms (the reference resets a
+        # long-lived pipeline to get the same effect, `base_executor.py:344`)
         pipeline = DataPipeline(
             ep_cfg, use_dummy_data=self.use_dummy_data,
             global_config=self.config,
         )
-        pipeline.reset()  # every eval pass re-runs all transforms
         out_ops = list(ep_cfg.get("out_ops", []) or [
             n for n in ep_cfg.get("transforms", {}) if n.startswith("output:")
         ])

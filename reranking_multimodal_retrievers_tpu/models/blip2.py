@@ -340,6 +340,24 @@ class Blip2ForConditionalGeneration(nn.Module):
                                   attention_mask=attention_mask)
         return None, hidden, attention_mask
 
+    def causal_last_hidden(self, input_ids, attention_mask,
+                           pixel_values=None, vision_prefix=None):
+        """Hidden state at each row's LAST real prompt position, [B, H].
+
+        The canonical "which position predicts yes/no" rule for the
+        decoder-only rerankers (HF slices logits to the label window and the
+        reference reads its first row, `decoder_rerank_model.py:147-150` +
+        `modeling_blip_2.py:1445-1447`): ``prefix_len + sum(mask) − 1``, so
+        right-padded rows score at their own final token, never at a shared
+        pad column. Kept here — next to the mask construction — so every
+        caller (both rerank heads, bench) shares one definition."""
+        _, hidden, _ = self.causal_lm_hidden(
+            input_ids, attention_mask, pixel_values, vision_prefix)
+        prefix_len = hidden.shape[1] - input_ids.shape[1]
+        last = prefix_len + jnp.sum(
+            attention_mask.astype(jnp.int32), axis=1) - 1
+        return jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0]
+
     def decode_logits(self, decoder_input_ids, enc_states, enc_attention_mask):
         """Per-position decoder logits over a fixed-length token buffer — the
         step function of a host-driven greedy decode (static shapes: the

@@ -325,22 +325,17 @@ class Blip2DecoderRerankModel(nn.Module):
             # monoBLIP2-Opt: the last real prompt position predicts the
             # yes/no token (HF slices logits to the label window and the
             # reference reads its first row, `decoder_rerank_model.py:147-150`
-            # + `modeling_blip_2.py:1445-1447`). Computed per row from the
-            # attention mask — right-padded rows score at their own final
-            # token, not at a shared pad column. TPU-first: gather the hidden
-            # state at that position FIRST and project only it through the
-            # 50k-vocab head — a [K, 1, V] matmul instead of [K, L+prefix, V]
-            # (identical logits; the full-vocab projection over prompt
-            # positions is the dominant avoidable cost at opt-2.7b scale).
-            _, hidden, _ = self.model.causal_lm_hidden(
+            # + `modeling_blip_2.py:1445-1447`). TPU-first: gather the hidden
+            # state at that position FIRST (`causal_last_hidden`) and project
+            # only it through the 50k-vocab head — a [K, 1, V] matmul instead
+            # of [K, L+prefix, V] (identical logits; the full-vocab
+            # projection over prompt positions is the dominant avoidable
+            # cost at opt-2.7b scale).
+            rel = self.model.causal_last_hidden(
                 input_ids, attention_mask, vision_prefix=prefix
             )
-            prefix_len = 0 if prefix is None else prefix.shape[1]
-            last = prefix_len + jnp.sum(
-                attention_mask.astype(jnp.int32), axis=1) - 1
-            rel = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
             first = self.model.language_model.lm_logits(
-                rel)[:, 0, :].astype(jnp.float32)
+                rel[:, None, :])[:, 0, :].astype(jnp.float32)
         else:
             dec_in = jnp.full(
                 (expanded, 1), cfg.blip2.text_config.decoder_start_token_id,
@@ -399,14 +394,9 @@ class Blip2DecoderHeadRerankModel(nn.Module):
                 self.model.vision_prefix(pixel_values), nway, axis=0
             )
         if cfg.blip2.use_decoder_only_language_model:
-            _, hidden, _ = self.model.causal_lm_hidden(
+            rel = self.model.causal_last_hidden(
                 input_ids, attention_mask, vision_prefix=prefix
             )
-            prefix_len = 0 if prefix is None else prefix.shape[1]
-            last = prefix_len + jnp.sum(
-                attention_mask.astype(jnp.int32), axis=1) - 1
-            rel = jnp.take_along_axis(
-                hidden, last[:, None, None], axis=1)[:, 0, :]
         else:
             dec_in = jnp.full(
                 (expanded, 1), cfg.blip2.text_config.decoder_start_token_id,

@@ -21,8 +21,14 @@ def is_tpu_backend() -> bool:
 
 def head_pack_feasible(num_heads: int, head_dim: int) -> bool:
     """Whether `ops/attention_pallas.py`'s fused kernel can tile this head
-    geometry: it packs ``hpb = ceil(128 / head_dim)`` heads per grid step and
-    requires ``num_heads % hpb == 0`` with full 128-lane rows (the kernel
-    asserts this — callers must gate on it and fall back to the XLA path)."""
+    geometry. Mirrors the kernel's own packing search exactly: starting from
+    ``hpb = ceil(128 / head_dim)``, grow the head group until its packed
+    width is a 128-lane multiple AND it divides ``num_heads`` (hd=64 → 2,
+    hd=80 (OPT) → 8). Infeasible only when no group ≤ num_heads satisfies
+    both — callers then fall back to the XLA path."""
     hpb = max(1, -(-128 // head_dim))
-    return num_heads % hpb == 0 and (hpb * head_dim) % 128 == 0
+    while (hpb * head_dim) % 128 != 0 or num_heads % hpb != 0:
+        hpb += 1
+        if hpb > num_heads:
+            return False
+    return True

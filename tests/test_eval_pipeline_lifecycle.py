@@ -206,3 +206,54 @@ def test_tokenize_transform_prefixes_columns():
     assert "question_input_ids" in out["train"].column_names
     assert "question_attention_mask" in out["train"].column_names
     assert len(out["train"]["question_input_ids"][0]) == 8
+
+
+def test_tokenize_transform_passes_through_unselected_splits():
+    """Splits outside splits_to_process (this repo's 'valid' and
+    '*_passages' tables) must survive untouched, not vanish."""
+    import datasets as hfds
+
+    from reranking_multimodal_retrievers_tpu.data.ops.generic import (
+        HFDatasetTokenizeTransform,
+    )
+
+    passages = hfds.Dataset.from_dict({"passage_content": ["p0", "p1"]})
+    ds = {
+        "train": hfds.Dataset.from_dict({"question": ["what is a dog"]}),
+        "valid": hfds.Dataset.from_dict({"question": ["where is paris"]}),
+        "test_passages": passages,
+    }
+    fn = HFDatasetTokenizeTransform()
+    fn.setup(
+        tokenizer_config={"TokenizerClass": "BertTokenizerFast",
+                          "tokenize_kwargs": {"padding": "max_length",
+                                              "truncation": True,
+                                              "max_length": 8}},
+        tokenize_fields_list=["question"],
+        splits_to_process=["train"],
+    )
+    out = fn(ds)
+    assert "question_input_ids" in out["train"].column_names
+    # untokenized splits pass through unchanged
+    assert out["valid"] is ds["valid"]
+    assert out["test_passages"] is passages
+
+
+def test_load_hf_dataset_fields_projection(tmp_path):
+    """setup(fields=[...]) projects to those columns (both a bare Dataset
+    and a DatasetDict)."""
+    import datasets as hfds
+
+    ds = hfds.Dataset.from_dict({"a": [1, 2], "b": ["x", "y"], "c": [0, 0]})
+    ds.save_to_disk(str(tmp_path / "toy"))
+    fn = LoadHFDataset()
+    fn.setup(dataset_name="toy", dataset_path=str(tmp_path),
+             fields=["a", "b", "missing_is_skipped"])
+    out = fn(None)
+    assert sorted(out.column_names) == ["a", "b"]
+
+    hfds.DatasetDict({"train": ds}).save_to_disk(str(tmp_path / "toy2"))
+    fn2 = LoadHFDataset()
+    fn2.setup(dataset_name="toy2", dataset_path=str(tmp_path), fields=["b"])
+    out2 = fn2(None)
+    assert out2["train"].column_names == ["b"]

@@ -400,3 +400,35 @@ def test_search_unpadded_excludes_padding_docs():
     M = jnp.asarray(M)
     _, idx = _local_search(Q, D, M, k=k, chunk=16, unpadded=True)
     assert int(np.asarray(idx).max()) < N - 6
+
+
+def test_head_pack_feasible_mirrors_kernel_search():
+    """The dispatch gate must agree with the kernel's own packing search —
+    a stricter gate silently disables the fused path for geometries the
+    kernel supports (OPT's 32 heads x head_dim 80 regressed this way)."""
+    from reranking_multimodal_retrievers_tpu.ops.platform import (
+        head_pack_feasible,
+    )
+
+    def kernel_search_ok(num_heads, hd):
+        hpb = max(1, -(-128 // hd))
+        while (hpb * hd) % 128 != 0 or num_heads % hpb != 0:
+            hpb += 1
+            if hpb > num_heads:
+                return False
+        return True
+
+    cases = [
+        (12, 64),   # BERT-base
+        (32, 64),   # T5-XL
+        (32, 80),   # OPT-2.7b — needs the relaxed upward search
+        (16, 80),
+        (8, 80),
+        (7, 80),    # no pack divides 7 with 128-lane rows -> infeasible
+        (12, 26),
+        (1, 128),
+    ]
+    for nh, hd in cases:
+        assert head_pack_feasible(nh, hd) == kernel_search_ok(nh, hd), (nh, hd)
+    assert head_pack_feasible(32, 80), "OPT geometry must be feasible"
+    assert not head_pack_feasible(7, 80)

@@ -68,7 +68,9 @@ def make_train_split_config(suffix: str = "") -> str:
         "setup_kwargs"]["datasets_config"]
     ds_cfg["test"][0]["split"] = "train"
     cfg["meta"]["experiment_name"] = f"synth_flmr{suffix}_trainsplit"
-    path = f"configs/_generated_synth_flmr{suffix}_trainsplit.json"
+    # generated configs live under cache/ (never tracked), not configs/
+    os.makedirs("cache", exist_ok=True)
+    path = f"cache/_generated_synth_flmr{suffix}_trainsplit.json"
     json.dump(cfg, open(path, "w"), indent=2)
     return path
 
