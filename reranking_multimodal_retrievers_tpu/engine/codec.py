@@ -67,7 +67,7 @@ def compress(
     centroids, _ = train_centroids(flat[take], k=num_centroids, seed=seed)
 
     codes, residuals, scales = _assign_and_quantize(
-        jnp.asarray(flat), jnp.asarray(centroids)
+        jnp.asarray(flat), jnp.asarray(centroids), jnp.asarray(valid)
     )
     return CompressedTokenIndex(
         centroids=jnp.asarray(centroids),
@@ -80,12 +80,17 @@ def compress(
 
 
 @jax.jit
-def _assign_and_quantize(flat, centroids):
+def _assign_and_quantize(flat, centroids, valid):
     scores = jnp.einsum("nd,kd->nk", flat, centroids,
                         preferred_element_type=jnp.float32)
     codes = jnp.argmax(scores, axis=1).astype(jnp.int32)
     resid = flat - centroids[codes]
-    scales = jnp.maximum(jnp.max(jnp.abs(resid), axis=0), 1e-8) / 127.0
+    # per-dim scales over VALID tokens only: a padding row is a zero vector
+    # whose residual is -centroids[argmax(0)] (unit-normalized magnitude),
+    # which would inflate the int8 step far beyond the real residual spread
+    # and coarsen every genuine token's reconstruction
+    resid_for_scale = jnp.where(valid[:, None], jnp.abs(resid), 0.0)
+    scales = jnp.maximum(jnp.max(resid_for_scale, axis=0), 1e-8) / 127.0
     q = jnp.clip(jnp.round(resid / scales[None, :]), -127, 127).astype(jnp.int8)
     return codes, q, scales
 

@@ -180,8 +180,11 @@ class Condenser:
         )[: cfg.stage2_keep]
         if not scored:
             return [], []
-        # at least 2 facts: everything above min(0, second_best − ε)
-        floor = min(0.0, (scored[1][0] if len(scored) > 1 else scored[0][0]) - 1e-10)
+        # at least min_facts facts survive: everything above
+        # min(0, min_facts-th best − ε) — the reference hardcodes 2
+        # (`condense.py:129`), kept as the config default
+        nth = min(cfg.min_facts, len(scored)) - 1
+        floor = min(0.0, scored[nth][0] - 1e-10)
         l3x = [k for s, k in scored if s > floor]
         keep_pids = _dedupe([pid for pid, _ in l3x])[: cfg.max_docs]
         l3x = [(pid, sid) for pid, sid in l3x if pid in keep_pids]

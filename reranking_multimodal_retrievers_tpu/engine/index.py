@@ -87,7 +87,9 @@ class TokenIndex:
         meta = {
             "doc_ids": self.doc_ids,
             "shape": list(self.embeddings.shape),
-            "dtype": "bfloat16",
+            # the ON-DISK dtype (fp16 has a numpy container; the in-HBM
+            # index is bf16 — load() re-casts)
+            "dtype": str(emb.dtype),
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)

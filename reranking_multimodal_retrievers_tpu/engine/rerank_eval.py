@@ -28,16 +28,23 @@ import jax
 import jax.numpy as jnp
 
 
-def _pick_chunk(expanded: int, chunk_size: Optional[int], n_shards: int) -> int:
-    """Largest divisor of ``expanded`` that is ≤ chunk_size and a multiple of
-    ``n_shards`` (so each scan step shards evenly over the mesh)."""
+def _pick_chunk(expanded: int, chunk_size: Optional[int],
+                n_shards: int) -> tuple:
+    """Pick ``(chunk, pad)``: the largest divisor of ``expanded`` that is
+    ≤ chunk_size and a multiple of ``n_shards`` (so each scan step shards
+    evenly over the mesh). When no such divisor exists (e.g. B·K=300 rows on
+    8 chips), fall back to the largest multiple of n_shards ≤ chunk_size and
+    pad the batch up to a multiple of it — NEVER to one whole-batch chunk,
+    which would re-create exactly the multi-GB activation blow-up this
+    module exists to bound."""
     if chunk_size is None:
         chunk_size = 64
     chunk_size = max(min(chunk_size, expanded), 1)
     for c in range(chunk_size, 0, -1):
         if expanded % c == 0 and c % n_shards == 0:
-            return c
-    return expanded
+            return c, 0
+    c = max(chunk_size // n_shards, 1) * n_shards
+    return c, (-expanded) % c
 
 
 def make_chunked_rerank_fn(
@@ -63,8 +70,20 @@ def make_chunked_rerank_fn(
 
     def fn(params, input_ids, attention_mask, token_type_ids, query_pixel_values):
         expanded, L = input_ids.shape
-        chunk = _pick_chunk(expanded, chunk_size, n_shards)
-        n_chunks = expanded // chunk
+        chunk, pad = _pick_chunk(expanded, chunk_size, n_shards)
+        n_chunks = (expanded + pad) // chunk
+
+        def pad_rows(x, fill=0):
+            if pad == 0:
+                return x
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths, constant_values=fill)
+
+        input_ids = pad_rows(input_ids)
+        # padding rows attend to their [PAD] tokens (all-ones mask) so the
+        # softmax stays well-defined; their logits are sliced away below
+        attention_mask = pad_rows(attention_mask, fill=1)
+        token_type_ids = pad_rows(token_type_ids)
 
         def shard_rows(x):
             if mesh is None:
@@ -83,8 +102,8 @@ def make_chunked_rerank_fn(
                 method=type(reranker).encode_vision,
             )
             vis = (
-                jnp.repeat(vis_cls, nway, axis=0),
-                jnp.repeat(second_last, nway, axis=0),
+                pad_rows(jnp.repeat(vis_cls, nway, axis=0)),
+                pad_rows(jnp.repeat(second_last, nway, axis=0)),
             )
 
         def to_chunks(x):
@@ -108,7 +127,7 @@ def make_chunked_rerank_fn(
             return (), out.logits.reshape(chunk)
 
         _, logits = jax.lax.scan(body, (), tuple(xs))
-        return logits.reshape(-1, nway)
+        return logits.reshape(-1)[:expanded].reshape(-1, nway)
 
     if not jit:
         return fn

@@ -160,6 +160,9 @@ def default_use_pallas() -> bool:
     return is_tpu_backend()
 
 
+_SEARCH_FN_CACHE: dict = {}
+
+
 def make_search_fn(mesh: Optional[Mesh], n_padded_docs: int, k: int,
                    chunk: int = 256, use_pallas: Optional[bool] = None,
                    score_dtype=jnp.float32, unpadded: bool = False):
@@ -167,7 +170,32 @@ def make_search_fn(mesh: Optional[Mesh], n_padded_docs: int, k: int,
 
     ``unpadded``/``score_dtype`` are serving-throughput knobs for the fused
     kernel path (see :func:`_local_search`); exact fp32 masked scoring is
-    the default."""
+    the default.
+
+    Programs are cached on their full build key: a fresh closure per call
+    would miss JAX's jit cache and re-trace+compile the corpus-scan program
+    (seconds) for every caller that loops, e.g. ``search_exhaustive`` over
+    eval batches."""
+    if use_pallas is None:
+        use_pallas = default_use_pallas()
+    key = (mesh, n_padded_docs, k, chunk, use_pallas,
+           jnp.dtype(score_dtype).name, unpadded)
+    try:
+        cached = _SEARCH_FN_CACHE.get(key)
+    except TypeError:  # unhashable mesh — build uncached
+        cached = None
+        key = None
+    if cached is not None:
+        return cached
+    fn = _build_search_fn(mesh, n_padded_docs, k, chunk, use_pallas,
+                          score_dtype, unpadded)
+    if key is not None:
+        _SEARCH_FN_CACHE[key] = fn
+    return fn
+
+
+def _build_search_fn(mesh, n_padded_docs, k, chunk, use_pallas,
+                     score_dtype, unpadded):
     if use_pallas is None:
         use_pallas = default_use_pallas()
     if mesh is None:

@@ -127,11 +127,14 @@ class BertAttention(nn.Module):
         v = v3.reshape(B, Lk, nh, hd)
 
         # layout-native fused kernel: no transposes, padding as additive key
-        # bias, scores live in VMEM (see ops/attention_pallas.py)
-        hpb = max(1, -(-128 // hd))
+        # bias, scores live in VMEM (see ops/attention_pallas.py); the gate
+        # shares the canonical feasibility check so it can't drift from the
+        # kernel's packing search (ops/platform.py)
+        from ..ops.platform import head_pack_feasible
+
         use_pallas = (
             cfg.use_pallas_attention and can_flash and kv_states is None
-            and Lq % 8 == 0 and nh % hpb == 0 and (hpb * hd) % 128 == 0
+            and Lq % 8 == 0 and head_pack_feasible(nh, hd)
         )
         # the kernel's default tiles lose to XLA's fused softmax at these
         # shapes; full-sequence tiles with a batched grid win (measured

@@ -436,8 +436,12 @@ class T5ForConditionalGeneration(nn.Module):
             x, enc_states=enc_states, enc_attention_mask=enc_attention_mask
         )
         if cfg.tie_word_embeddings:
-            hidden = hidden * (cfg.d_model ** -0.5)
-            logits = hidden @ self.shared.embedding.T
+            # HF scales by d_model**-0.5 ONLY for the tied logits projection
+            # (`modeling_t5.py` T5ForConditionalGeneration.forward); the
+            # returned hidden states stay unscaled so heads trained on HF
+            # last_hidden_state (Blip2DecoderHeadRerankModel) see identical
+            # inputs
+            logits = (hidden * (cfg.d_model ** -0.5)) @ self.shared.embedding.T
         else:
             logits = self.lm_head(hidden)
         return logits, hidden

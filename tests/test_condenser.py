@@ -134,3 +134,23 @@ def test_baleen_engine_two_hops(setup):
     assert set(out.keys()) == {"facts", "positive_facts", "pids"}
     assert out["pids"] == _dedupe(out["pids"])
     assert all(k in cond.collectionY for k in out["facts"])
+
+
+def test_stage2_min_facts_is_respected(setup):
+    """CondenserConfig.min_facts actually drives the survival floor (it used
+    to be silently ignored in favor of a hardcoded 2-fact rule)."""
+    import copy
+    import dataclasses as dc
+
+    base = setup
+    keys = list(base.collectionY)[:4]
+    for want in (1, 2, 3):
+        cond = copy.copy(base)
+        cond.config = dc.replace(base.config, min_facts=want)
+        # all-negative joint scores, strictly decreasing: exactly min_facts
+        # facts sit above min(0, nth_best - eps)
+        cond._score = lambda p, q, docs: np.asarray(
+            [[-0.1 * (i + 1) for i in range(len(keys))]])
+        positives, l3x = cond._stage2("q", keys)
+        assert positives == []  # nothing above zero
+        assert len(l3x) == min(want, len(keys)), (want, l3x)

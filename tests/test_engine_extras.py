@@ -211,3 +211,61 @@ def test_static_retrieval_rank_only_has_no_score():
     assert static["1"][0]["score"] is None
     r2 = Ranking(data=[(1, "P0", 0, 17.5)])
     assert r2.to_static_retrieval()["1"][0]["score"] == 17.5
+
+
+def test_codec_scales_ignore_padding_rows():
+    """Per-dim int8 scales must come from VALID residuals only: a padded
+    (zero) token's residual is -centroids[code] with unit-normalized
+    magnitude, which would inflate the quantization step ~10-100x over the
+    real residual spread and coarsen every genuine token."""
+    rng = np.random.default_rng(7)
+    dim = 16
+    # two tight clusters -> tiny true residuals
+    centers = rng.normal(size=(2, dim)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    emb = np.zeros((8, 4, dim), np.float32)
+    mask = np.zeros((8, 4), bool)
+    for i in range(8):
+        for j in range(3):  # last token of every doc is padding
+            c = centers[(i + j) % 2]
+            emb[i, j] = c + rng.normal(scale=1e-3, size=dim)
+            mask[i, j] = True
+    idx = compress(emb, mask, [f"d{i}" for i in range(8)],
+                   num_centroids=2, sample_size=24)
+    # scales reflect the ~1e-3 residual spread, not the O(0.1) padding
+    # pseudo-residuals (|centroid| / 127 ~ 2e-3 per dim on average)
+    assert float(np.max(np.asarray(idx.scales))) < 1e-3, np.max(idx.scales)
+    rec = np.asarray(decompress(idx.codes, idx.residuals, idx.centroids,
+                                idx.scales))
+    err = np.abs(rec - emb)[mask].max()
+    assert err < 5e-5, err
+
+
+def test_make_search_fn_caches_programs():
+    from reranking_multimodal_retrievers_tpu.engine.search import (
+        make_search_fn,
+    )
+
+    a = make_search_fn(None, 64, 5, chunk=16, use_pallas=False)
+    b = make_search_fn(None, 64, 5, chunk=16, use_pallas=False)
+    assert a is b, "same build key must return the cached program"
+    c = make_search_fn(None, 64, 7, chunk=16, use_pallas=False)
+    assert c is not a
+
+
+def test_token_index_meta_records_on_disk_dtype(tmp_path, corpus):
+    import json as _json
+    import os as _os
+
+    from reranking_multimodal_retrievers_tpu.engine.index import TokenIndex
+
+    emb, mask, _ = corpus
+    idx = TokenIndex.from_arrays(emb, mask,
+                                 [f"d{i}" for i in range(len(emb))])
+    p = str(tmp_path / "idx")
+    idx.save(p)
+    meta = _json.load(open(_os.path.join(p, "meta.json")))
+    import numpy as _np
+
+    on_disk = _np.load(_os.path.join(p, "embeddings.npy"))
+    assert meta["dtype"] == str(on_disk.dtype) == "float16"

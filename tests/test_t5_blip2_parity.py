@@ -87,12 +87,21 @@ def test_t5_tied_ungated_parity(io):
                    dense_act_fn="relu", tie_word_embeddings=True)
     params = t5_params(state_dict_from_torch(hf), cfg)
     with torch.no_grad():
-        ref = hf(input_ids=torch.tensor(ids), attention_mask=torch.tensor(am),
-                 decoder_input_ids=torch.tensor(dec)).logits.numpy()
+        out = hf(input_ids=torch.tensor(ids), attention_mask=torch.tensor(am),
+                 decoder_input_ids=torch.tensor(dec),
+                 output_hidden_states=True)
+        ref = out.logits.numpy()
+        ref_h = out.decoder_hidden_states[-1].numpy()
     model = T5ForConditionalGeneration(cfg)
-    got, _ = model.apply({"params": params}, jnp.asarray(ids, jnp.int32),
-                         jnp.asarray(am, jnp.int32), jnp.asarray(dec, jnp.int32))
+    got, hidden = model.apply({"params": params}, jnp.asarray(ids, jnp.int32),
+                              jnp.asarray(am, jnp.int32),
+                              jnp.asarray(dec, jnp.int32))
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4)
+    # HF scales by d_model**-0.5 only inside the tied logits projection —
+    # the returned hidden states must be UNSCALED (heads trained on HF
+    # last_hidden_state consume them; regression: decode() used to return
+    # the scaled tensor)
+    np.testing.assert_allclose(np.asarray(hidden), ref_h, atol=2e-4)
 
 
 def _tiny_blip2_pair():
