@@ -63,6 +63,18 @@ class BaseDataset(ModuleParser):
         batch: Dict[str, Any] = {}
 
         parsed = [self.parse_modules(s, mc.get("input_modules", [])) for s in samples]
+        # the flattened image list pairs positionally with questions inside
+        # PostProcessVisionInputProcessing — a sample contributing a
+        # different image count (missing img_path, inconsistent ROI crops)
+        # would silently misalign every later row; fail loudly here instead
+        img_counts = {len(p["images"]) for p in parsed}
+        if len(img_counts) > 1:
+            raise ValueError(
+                "collate_fn: samples yield differing image counts "
+                f"{sorted(img_counts)} — pixel_values rows would misalign "
+                "with questions (check img_path presence / ROI settings "
+                "across the batch)"
+            )
         input_data = {
             "text_sequences": [p["text_sequence"] for p in parsed],
             "images": sum((p["images"] for p in parsed), []),

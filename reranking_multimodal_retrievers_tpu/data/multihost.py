@@ -45,11 +45,19 @@ class ProcessShardDataset:
         n = len(dataset)
         self._indices = list(range(process_index, n, process_count))
         # equalize shard length across processes so every host runs the same
-        # number of steps (SPMD requires lockstep): pad short shards by wrap
-        self._common_len = n // process_count
-        if self._common_len == 0 and n:
-            self._common_len = 1
-        self._indices = (self._indices * 2)[: max(self._common_len, 1)]
+        # number of steps (SPMD requires lockstep): pad short shards by wrap.
+        # A shard can be EMPTY (n < process_count, e.g. 2 rows on a 4-process
+        # slice) — wrap-doubling an empty list is still empty, which would
+        # leave this host yielding 0 batches while others yield 1 and the
+        # pjit step deadlocks; fall back to global round-robin rows so every
+        # host serves exactly _common_len rows
+        self._common_len = max(n // process_count, 1) if n else 0
+        if n:
+            if not self._indices:
+                self._indices = [process_index % n]
+            while len(self._indices) < self._common_len:
+                self._indices = self._indices * 2
+            self._indices = self._indices[: self._common_len]
         # expose the underlying collate_fn if any
         self.collate_fn = getattr(dataset, "collate_fn", None)
 

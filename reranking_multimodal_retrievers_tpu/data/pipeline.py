@@ -6,8 +6,9 @@ Parity with the reference ``DataPipeline``
 - nodes are named ``"<split>:<Name>"`` and declare ``transform_name``,
   ``input_node`` (or a list), ``setup_kwargs``, ``cache`` and ``regenerate``;
 - execution is lazy and recursive from requested output nodes;
-- the cache filename is keyed on the node id + an md5 of its setup kwargs, so
-  changing parameters invalidates only the affected subtree;
+- the cache filename is keyed on the node id + a TRANSITIVE md5 over its own
+  and every ancestor's (transform, setup_kwargs), so changing any upstream
+  parameter invalidates exactly the affected downstream subtree;
 - dummy-data mode caches under ``cache/dummy``;
 - an in-memory cache avoids recomputation within a process.
 """
@@ -41,14 +42,40 @@ class DataPipeline:
         self.cache_dir = os.path.join(base, "dummy") if use_dummy_data else base
         self.transforms: Dict[str, dict] = dict(pipeline_config.get("transforms", {}))
         self.output_data: Dict[str, Any] = {}
+        self._sig_memo: Dict[str, str] = {}
 
     # ------------------------------------------------------------------ keys
+    def _node_signature(self, node_id: str) -> str:
+        """Transitive content signature: the node's own transform + kwargs
+        AND every ancestor's, so changing an upstream node's parameters
+        invalidates the whole downstream subtree (this is what the module
+        docstring promises; keying on the node's own kwargs alone served
+        stale descendants computed from an old parent output)."""
+        memo = self._sig_memo.get(node_id)
+        if memo is not None:
+            return memo
+        info = self.transforms.get(node_id, {})
+        parents = info.get("input_node")
+        if parents is None:
+            parents = []
+        elif not isinstance(parents, (list, tuple)):
+            parents = [parents]
+        payload = json.dumps(
+            {
+                "transform": info.get("transform_name"),
+                "kwargs": info.get("setup_kwargs", {}),
+                "parents": [self._node_signature(p) for p in parents
+                            if p in self.transforms],
+            },
+            sort_keys=True, default=str,
+        )
+        sig = hashlib.md5(payload.encode()).hexdigest()[:10]
+        self._sig_memo[node_id] = sig
+        return sig
+
     def _cache_name(self, node_id: str, trans_info: dict) -> str:
-        kwargs_md5 = hashlib.md5(
-            json.dumps(trans_info.get("setup_kwargs", {}), sort_keys=True, default=str).encode()
-        ).hexdigest()[:10]
         safe = node_id.replace(":", "__").replace("/", "_")
-        return f"{safe}-{kwargs_md5}"
+        return f"{safe}-{self._node_signature(node_id)}"
 
     # ------------------------------------------------------------------ exec
     def _exec_node(self, node_id: str) -> Any:

@@ -60,13 +60,23 @@ class Experiment:
         self.executor = self._init_executor()
 
     def _setup_logging(self):
-        """Rotating file + console logs (reference `experiment.py:195-231`)."""
+        """Per-run file log (reference `experiment.py:195-231`).
+
+        Earlier Experiments' run.log handlers are removed first: a driver
+        constructing several Experiments in one process (train→test sweeps,
+        tools/synth_accuracy_run.py) would otherwise write every line into
+        ALL previous run.log files and leak open file descriptors."""
         log_path = os.path.join(self.experiment_dir, "run.log")
+        root = logging.getLogger()
+        for h in list(root.handlers):
+            if isinstance(h, logging.FileHandler) and getattr(
+                    h, "baseFilename", "").endswith(os.sep + "run.log"):
+                root.removeHandler(h)
+                h.close()
         handler = logging.FileHandler(log_path)
         handler.setFormatter(
             logging.Formatter("%(asctime)s %(levelname)s %(name)s: %(message)s")
         )
-        root = logging.getLogger()
         root.addHandler(handler)
         if root.level > logging.INFO:
             root.setLevel(logging.INFO)

@@ -375,7 +375,7 @@ class RagExecutor(RerankerExecutor):
                         "loss_with_doc_scores": [float(x) for x in losses],
                         "doc_scores": doc_scores,
                         "retrieved_docs": docs,
-                        "answers": batch.get("answers", [[]])[qi],
+                        "answers": batch.get("answers", [[]] * real)[qi],
                         # Infoseek numeric-answer range (reference
                         # `RAG_BLIP_executor.py:643`)
                         "numeric_range": (

@@ -220,7 +220,10 @@ class RerankerExecutor(BaseExecutor):
         variables = self.reranker.init(key, **batch, num_negative_examples=1)
         params = variables["params"]
         if getattr(self, "_bridged_decoder_params", None):
-            params = self._bridged_decoder_params
+            # merge INTO the initialized tree: the bridge carries only the
+            # backbone ({"model": ...}); decoder_head rerankers also own
+            # classifier1/classifier2, which must keep their fresh init
+            params = {**params, **self._bridged_decoder_params}
             self._bridged_decoder_params = None
         self._retriever_params = None
         if self.retriever is not None:
@@ -322,7 +325,15 @@ class RerankerExecutor(BaseExecutor):
                     if qid in self.questionId2topPassages:
                         continue
                     pos = list(row.get("pos_item_ids", []))
-                    pool = pos + [p for p in all_ids if p not in set(pos)]
+                    pos_set = set(pos)
+                    # only docs_to_rerank docs survive the slice — stop the
+                    # corpus scan there instead of materializing all of it
+                    pool = list(pos)
+                    for p in all_ids:
+                        if len(pool) >= self.docs_to_rerank:
+                            break
+                        if p not in pos_set:
+                            pool.append(p)
                     pool = pool[: self.docs_to_rerank]
                     self._rng.shuffle(pool)
                     self.questionId2topPassages[qid] = [
@@ -378,9 +389,16 @@ class RerankerExecutor(BaseExecutor):
         if "neg_sample_retrieved" in self.modules or "train_with_retrieved_docs" not in self.modules:
             # 1 positive + N negatives (negatives from retrieved, minus pos)
             pos = pos_ids[0] if pos_ids else retrieved[0]
-            negs = [p for p in retrieved if p not in set(pos_ids)]
+            pos_set = set(pos_ids)
+            negs = [p for p in retrieved if p not in pos_set]
             if len(negs) < self.num_negative_samples:
-                negs = negs + [p for p in self.id2doc if p not in set(pos_ids)]
+                # top up from the corpus, stopping once we have enough —
+                # never materialize an 80k-element list per training sample
+                for p in self.id2doc:
+                    if len(negs) >= self.num_negative_samples:
+                        break
+                    if p not in pos_set:
+                        negs.append(p)
             selected = [pos] + negs[: self.num_negative_samples]
             labels = [1] + [0] * self.num_negative_samples
         else:
@@ -592,6 +610,19 @@ class RerankerExecutor(BaseExecutor):
             for bi, batch in enumerate(loader):
                 if limit and bi >= limit:
                     break
+                # drop padding-duplicated tail rows BEFORE building model
+                # inputs: a batch-mean loss over padded rows over-weights
+                # the duplicated samples no matter how the mean is
+                # re-weighted afterwards (one extra compile for the tail
+                # shape, once per loader)
+                real = batch.get("_real_count", len(batch["question_ids"]))
+                nb = len(batch["question_ids"])
+                if real < nb:
+                    batch = {
+                        k: (v[:real] if hasattr(v, "__len__")
+                            and len(v) == nb else v)
+                        for k, v in batch.items()
+                    }
                 doc_ids, labels = [], []
                 for qi, qid in enumerate(batch["question_ids"]):
                     pos = batch.get("pos_item_ids", [[None]])[qi]
@@ -610,9 +641,8 @@ class RerankerExecutor(BaseExecutor):
                     model_batch["labels"] = jnp.asarray(labels, jnp.float32)
                 loss = float(np.asarray(
                     self._val_loss_fn(self.params, model_batch)))
-                # weight by the REAL row count so padding-duplicated tail
-                # rows don't bias the monitored valid/loss
-                real = batch.get("_real_count", len(batch["question_ids"]))
+                # the batch now holds real rows only, so the per-batch mean
+                # is unbiased; weight by its row count
                 loss_sum += loss * real
                 weight_sum += real
         out = ConfigDict(metrics={}, artifacts={})

@@ -97,6 +97,16 @@ class CheckpointManager:
         reverse = self.mode == "max"
         scored.sort(key=lambda c: c["metrics"][self.monitor], reverse=reverse)
         keep = {c["name"] for c in scored[: self.save_top_k]}
+        # checkpoints the monitored metric never reached (e.g. a recall
+        # monitor while validation reports loss only) are pruned by RECENCY
+        # to the same top-k budget — never all deleted, which used to leave
+        # only 'last' and silently void save_top_k
+        unscored = [
+            c for c in self._index["checkpoints"]
+            if self.monitor not in c["metrics"]
+        ]
+        unscored.sort(key=lambda c: c["step"], reverse=True)
+        keep.update(c["name"] for c in unscored[: self.save_top_k])
         keep.add(self._index.get("last"))
         best = self._index.get("best")
         if best:

@@ -24,24 +24,33 @@ def make_schedule(
     num_training_steps: Optional[int] = None,
     eta_min: float = 1e-5,
 ):
-    """linear | cosine | constant (default), all with linear warmup."""
+    """linear | cosine | constant (default), all with linear warmup.
+
+    ``num_warmup_steps=0`` means NO warmup — step 0 runs at full lr, matching
+    HF's ``get_linear_schedule_with_warmup`` (a forced 1-step warmup used to
+    waste the first batch at lr=0, the whole run under limit_batches=1)."""
     if name == "linear":
         assert num_training_steps is not None
+        decay = optax.linear_schedule(
+            lr, 0.0, max(num_training_steps - num_warmup_steps, 1)
+        )
+        if num_warmup_steps <= 0:
+            return decay
         return optax.join_schedules(
-            [
-                optax.linear_schedule(0.0, lr, max(num_warmup_steps, 1)),
-                optax.linear_schedule(
-                    lr, 0.0, max(num_training_steps - num_warmup_steps, 1)
-                ),
-            ],
-            [max(num_warmup_steps, 1)],
+            [optax.linear_schedule(0.0, lr, num_warmup_steps), decay],
+            [num_warmup_steps],
         )
     if name == "cosine":
         assert num_training_steps is not None
+        if num_warmup_steps <= 0:
+            return optax.cosine_decay_schedule(
+                init_value=lr, decay_steps=num_training_steps,
+                alpha=eta_min / lr if lr else 0.0,
+            )
         return optax.warmup_cosine_decay_schedule(
             init_value=0.0,
             peak_value=lr,
-            warmup_steps=max(num_warmup_steps, 1),
+            warmup_steps=num_warmup_steps,
             decay_steps=num_training_steps,
             end_value=eta_min,
         )

@@ -106,15 +106,15 @@ def test_pipeline_dag_and_cache(tmp_path):
     out2 = dp2.get_data(["output:double"], explode=True)
     assert out2 == out
     assert _DoubleNumbers.calls == 1
-    # kwargs change → different cache key → recompute
+    # UPSTREAM kwargs change → the downstream node's cache key changes too
+    # (transitive signature) → recompute without any regenerate flag
+    # (regression: the old own-kwargs-only key served the stale cache)
     cfg3 = _pipeline_config(tmp_path)
     cfg3.transforms["input:src"].setup_kwargs.n = 3
     dp3 = DataPipeline(cfg3)
-    # NOTE: cache key of output node unchanged, but input changed; the
-    # reference has the same property — regenerate flags control this
-    cfg3.transforms["output:double"].regenerate = True
     out3 = dp3.get_data(["output:double"], explode=True)
     assert out3 == [0, 2, 4]
+    assert _DoubleNumbers.calls == 2
 
 
 def test_pipeline_dummy_mode_uses_separate_cache(tmp_path):

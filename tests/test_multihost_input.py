@@ -79,3 +79,16 @@ def test_global_batch_feeds_train_step():
 
     v = float(mean_x(batch["x"]))
     assert np.isfinite(v)
+
+
+def test_empty_shard_hosts_still_serve_rows():
+    """n < process_count used to leave some hosts with ZERO batches while
+    others had one — SPMD deadlock; every host must serve _common_len rows."""
+    ds = _Rows(2)  # 2 rows, 4 processes
+    lens = []
+    for rank in range(4):
+        shard = ProcessShardDataset(ds, rank, 4)
+        lens.append(len(shard))
+        assert len(shard) == 1
+        _ = shard[0]  # must be a real row, not an IndexError
+    assert len(set(lens)) == 1

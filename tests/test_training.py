@@ -169,3 +169,40 @@ def test_single_device_step_matches_api(setup):
     assert float(metrics["total_loss"]) == pytest.approx(
         float(metrics["loss"]) + float(metrics["ib_loss"]), rel=1e-5
     )
+
+
+def test_schedules_zero_warmup_full_lr_at_step0():
+    """num_warmup_steps=0 means NO warmup (HF parity): step 0 runs at full
+    lr — a forced 1-step warmup used to waste the first batch at lr=0."""
+    lin = make_schedule("linear", 1.0, num_warmup_steps=0,
+                        num_training_steps=100)
+    assert float(lin(0)) == pytest.approx(1.0)
+    cos = make_schedule("cosine", 1.0, num_warmup_steps=0,
+                        num_training_steps=50)
+    assert float(cos(0)) == pytest.approx(1.0)
+    const = make_schedule(None, 0.5, num_warmup_steps=0)
+    assert float(const(0)) == pytest.approx(0.5)
+
+
+def test_checkpoint_prune_keeps_unscored_by_recency(tmp_path):
+    """A monitor that never appears in saved metrics must NOT cause every
+    non-last checkpoint to be pruned — unscored checkpoints are kept by
+    recency up to save_top_k (regression: only 'last' used to survive)."""
+    import numpy as np
+
+    from reranking_multimodal_retrievers_tpu.training.checkpointing import (
+        CheckpointManager,
+    )
+
+    mgr = CheckpointManager(str(tmp_path / "ckpts"),
+                            monitor="recall_at_5", mode="max", save_top_k=2)
+    state = {"w": np.zeros((2,), np.float32)}
+    for step in (1, 2, 3):
+        mgr.save(state, step=step, metrics={"loss": 1.0 / step})
+    names = {c["name"] for c in mgr._index["checkpoints"]}
+    # newest two survive (top-k budget by recency) — not just 'last'
+    assert names == {"step_2", "step_3"}, names
+    import os
+
+    for n in names:
+        assert os.path.isdir(str(tmp_path / "ckpts" / n))
