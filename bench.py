@@ -129,19 +129,8 @@ def bench_rerank():
         _, ls = jax.lax.scan(body, batch["input_ids"], None, length=iters)
         return ls[-1]
 
-    n_long, n_short = 4, 1
-    float(rerank_chain(params, batch, pix, iters=n_short))  # compile
-    float(rerank_chain(params, batch, pix, iters=n_long))
-
-    def timed(iters):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(rerank_chain(params, batch, pix, iters=iters))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    dt = (timed(n_long) - timed(n_short)) / (n_long - n_short)
+    dt = _slope_timed(
+        lambda it: rerank_chain(params, batch, pix, iters=it), n_long=4)
     return B * K / dt
 
 

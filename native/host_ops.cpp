@@ -34,6 +34,8 @@ extern "C" {
 void segmented_maxsim(const float* scores, const int32_t* doclens,
                       int64_t n_docs, int64_t n_query_tokens,
                       float* out) {
+  if (n_docs <= 0) return;  // empty candidate set: chunk division below
+                            // would otherwise divide by zero (SIGFPE)
   int n_threads = std::max(1u, std::thread::hardware_concurrency());
   if (n_docs < n_threads) n_threads = static_cast<int>(n_docs);
 

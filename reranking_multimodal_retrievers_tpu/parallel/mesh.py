@@ -36,6 +36,12 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh wants {n_data} (data) x {n_model} (model) = "
+            f"{n_data * n_model} devices but only {len(devices)} are "
+            "available — lower --n_devices / n_model or add devices "
+            "(XLA_FLAGS=--xla_force_host_platform_device_count=N on CPU)")
     use = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(use, (DATA_AXIS, MODEL_AXIS))
 

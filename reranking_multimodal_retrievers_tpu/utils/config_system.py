@@ -88,8 +88,11 @@ def merge_patch(base: dict, patch: dict) -> ConfigDict:
     for k, v in patch.items():
         if v is None:
             out.pop(k, None)
-        elif isinstance(v, dict) and isinstance(out.get(k), dict):
-            out[k] = merge_patch(out[k], v)
+        elif isinstance(v, dict):
+            # Recurse even when the base value is absent/non-dict so null
+            # members of the patch sub-dict are dropped (RFC 7396 §2).
+            prev = out.get(k)
+            out[k] = merge_patch(prev if isinstance(prev, dict) else {}, v)
         else:
             out[k] = v
     return out
@@ -121,6 +124,11 @@ def load_config(path: str, jsonnet_ext_vars: Optional[dict] = None) -> ConfigDic
 
 
 def _parse_value(text: str) -> Any:
+    # Configs are JSON, so accept JSON-cased literals too: otherwise
+    # `--opts key=false` would silently become the truthy string "false".
+    json_literals = {"true": True, "false": False, "null": None}
+    if text in json_literals:
+        return json_literals[text]
     try:
         return ast.literal_eval(text)
     except (ValueError, SyntaxError):

@@ -71,11 +71,22 @@ def maybe_wandb(config) -> object:
     try:
         import wandb
 
-        return wandb.init(
+        name = config.get_path("meta.experiment_name", "run")
+        # Store experiment_name at the top level of the run config: it is the
+        # key manage_wandb_runs filters on (reference runway_for_ml
+        # experiment.py:100-129 does the same).
+        stored = dict(config.to_dict(), experiment_name=name)
+        kwargs = dict(
             project=config.get_path("meta.WANDB.project", "rmr-tpu"),
-            name=config.get_path("meta.experiment_name", "run"),
-            config=config.to_dict(),
+            name=name,
+            config=stored,
         )
+        # Honor the resume id manage_wandb_runs planted in meta.WANDB.
+        for key in ("entity", "id", "resume", "tags"):
+            val = config.get_path(f"meta.WANDB.{key}", None)
+            if val:
+                kwargs[key] = val
+        return wandb.init(**kwargs)
     except Exception as e:
         logger.warning("wandb unavailable (%s); metrics go to jsonl only", e)
         return _NoOpRun()

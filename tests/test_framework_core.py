@@ -43,6 +43,25 @@ def test_merge_patch_jsonnet_semantics():
     assert "b" not in out and out.c == 4
 
 
+def test_merge_patch_drops_nulls_in_new_subdicts():
+    # RFC 7396 §2 / std.mergePatch: recurse into patch sub-dicts even when
+    # the base has no dict there, so nulls are dropped rather than kept.
+    out = merge_patch({}, {"a": {"b": None, "c": 1}})
+    assert out.to_dict() == {"a": {"c": 1}}
+    out = merge_patch({"a": 5}, {"a": {"b": None}})
+    assert out.to_dict() == {"a": {}}
+
+
+def test_apply_opts_json_literals():
+    # Configs are JSON: true/false/null must parse as booleans/None, not
+    # as truthy strings.
+    cfg = ConfigDict({"m": {"flag": True, "other": 1}})
+    apply_opts(cfg, ["m.flag=false", "m.other=null", "m.on=true"])
+    assert cfg.m.flag is False
+    assert cfg.m.other is None
+    assert cfg.m.on is True
+
+
 def test_load_config_json_and_py(tmp_path):
     import json
 

@@ -31,6 +31,14 @@ def test_segmented_maxsim_host():
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+def test_segmented_maxsim_host_empty_candidate_set():
+    # n_docs == 0 must return an empty array, not SIGFPE in the native
+    # thread-chunking division.
+    got = segmented_maxsim_host(
+        np.zeros((0, 7), np.float32), np.zeros((0,), np.int32))
+    assert got.shape == (0,)
+
+
 def test_segmented_lookup_host():
     rng = np.random.default_rng(1)
     src = rng.normal(size=(20, 4)).astype(np.float32)

@@ -37,6 +37,17 @@ def test_process_shards_are_disjoint_and_lockstep():
     assert len(seen) == len(set(seen))  # disjoint across processes
 
 
+def test_make_mesh_rejects_overask():
+    import pytest
+    import jax
+
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(n_data=n + 1)
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(n_data=n, n_model=2)
+
+
 def test_global_batch_assembly_over_mesh():
     mesh = make_mesh()
     ds = _Rows(64)

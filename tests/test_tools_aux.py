@@ -178,3 +178,41 @@ def test_evqa_em_and_bem_interface(tmp_path):
     ex3 = {"question": "what animal", "reference": "cat", "candidate": "the cat",
            "question_type": "automatic"}
     assert encyclopedic_vqa_evaluation_function(ex3, bem) == 1.0
+
+
+def test_fetch_and_bridge_config_resolves_tokenizer_statics(tmp_path):
+    """flmr_config_from_hf must resolve instruction_token_id and the
+    punctuation skiplist from the checkpoint's tokenizers — leaving the
+    defaults would make both maskings silently inert."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import fetch_and_bridge as fb
+
+    from reranking_multimodal_retrievers_tpu.models.tokenization import (
+        tiny_bert_tokenizer, instruction_token_id,
+    )
+
+    tok = tiny_bert_tokenizer(str(tmp_path), ["question", "use", "image"])
+    for sub in ("query_tokenizer", "context_tokenizer"):
+        tok.save_pretrained(str(tmp_path / sub))
+    hf_cfg = {
+        "text_config": {"vocab_size": tok.vocab_size, "hidden_size": 32,
+                        "num_hidden_layers": 1, "num_attention_heads": 2,
+                        "intermediate_size": 64},
+        "vision_config": {"hidden_size": 32, "intermediate_size": 64,
+                          "num_hidden_layers": 1, "num_attention_heads": 2,
+                          "image_size": 32, "patch_size": 16},
+        "dim": 16,
+        "mask_punctuation": True,
+        "mask_instruction_token": ":",
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(hf_cfg))
+
+    cfg = fb.flmr_config_from_hf(str(cfg_path))
+    assert cfg.mask_instruction
+    assert cfg.instruction_token_id == instruction_token_id(tok, ":")
+    assert cfg.instruction_token_id >= 0
+    assert len(cfg.punctuation_token_ids) > 0

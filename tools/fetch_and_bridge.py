@@ -38,6 +38,53 @@ def fetch(repo: str, cache_dir: str) -> str:
             "checkpoint elsewhere and pass --local-dir.") from e
 
 
+def _load_tokenizer_from(ckpt_dir: str, subfolders: tuple):
+    from transformers import AutoTokenizer
+
+    for sub in subfolders:
+        path = os.path.join(ckpt_dir, sub)
+        if os.path.exists(os.path.join(path, "tokenizer_config.json")) or \
+                os.path.exists(os.path.join(path, "vocab.txt")):
+            return AutoTokenizer.from_pretrained(path)
+    return None
+
+
+def _instruction_token_id_from(ckpt_dir: str, instruction_token: str) -> int:
+    """Resolve the instruction token id through the checkpoint's own query
+    tokenizer (reference `modeling_flmr.py:711-716` does this at model init);
+    leaving it unresolved would make instruction masking silently inert."""
+    from reranking_multimodal_retrievers_tpu.models.tokenization import (
+        instruction_token_id,
+    )
+
+    tok = _load_tokenizer_from(ckpt_dir, ("query_tokenizer", "tokenizer", "."))
+    if tok is None:
+        raise SystemExit(
+            f"config sets mask_instruction_token={instruction_token!r} but no "
+            f"query tokenizer was found under {ckpt_dir} to resolve its id — "
+            "instruction masking would be silently inert. Pass a checkpoint "
+            "dir containing the query_tokenizer/ subfolder.")
+    return instruction_token_id(tok, instruction_token)
+
+
+def _punctuation_ids_from(ckpt_dir: str) -> tuple:
+    """Resolve the punctuation skiplist through the checkpoint's context
+    tokenizer (reference `modeling_flmr.py:701-709`); an empty skiplist would
+    make mask_punctuation silently inert."""
+    from reranking_multimodal_retrievers_tpu.models.tokenization import (
+        punctuation_skiplist_ids,
+    )
+
+    tok = _load_tokenizer_from(
+        ckpt_dir, ("context_tokenizer", "query_tokenizer", "tokenizer", "."))
+    if tok is None:
+        raise SystemExit(
+            f"config sets mask_punctuation but no context tokenizer was found "
+            f"under {ckpt_dir} to build the skiplist — punctuation masking "
+            "would be silently inert.")
+    return punctuation_skiplist_ids(tok)
+
+
 def flmr_config_from_hf(config_path: str):
     """Map the HF FLMRConfig json onto this framework's FLMRConfig."""
     from reranking_multimodal_retrievers_tpu.models import FLMRConfig
@@ -47,6 +94,7 @@ def flmr_config_from_hf(config_path: str):
     with open(config_path) as f:
         hf = json.load(f)
     tc, vc = hf["text_config"], hf["vision_config"]
+    instr_tok = hf.get("mask_instruction_token")
     return FLMRConfig(
         text_config=BertConfig(
             vocab_size=tc.get("vocab_size", 30522),
@@ -75,7 +123,13 @@ def flmr_config_from_hf(config_path: str):
         transformer_mapping_cross_attention_length=hf.get(
             "transformer_mapping_cross_attention_length", 32),
         mask_punctuation=hf.get("mask_punctuation", True),
-        mask_instruction=bool(hf.get("mask_instruction_token")),
+        punctuation_token_ids=(
+            _punctuation_ids_from(os.path.dirname(config_path))
+            if hf.get("mask_punctuation", True) else ()),
+        mask_instruction=bool(instr_tok),
+        instruction_token_id=(
+            _instruction_token_id_from(os.path.dirname(config_path), instr_tok)
+            if instr_tok else -1),
         separate_query_and_context_text_encoder=hf.get(
             "separate_query_and_context_text_encoder", False),
         separate_query_and_context_vision_encoder=hf.get(
