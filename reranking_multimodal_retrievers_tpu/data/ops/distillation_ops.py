@@ -155,10 +155,13 @@ class PrepareDistillationScores(HFDatasetTransform):
                     pos = (batch.get("pos_item_ids", [[None]] * B)[i] or [None])[0]
                     pos_content = id2doc.get(pos, "")
                     negs = []
-                    while len(negs) < self.num_negatives and all_ids:
-                        cand = rng.choice(all_ids)
-                        if cand != pos:
-                            negs.append(cand)
+                    # sample with replacement among non-positive ids; when
+                    # the corpus has no other passage, repeat the positive
+                    # rather than spinning forever / shrinking the nway the
+                    # scorer was compiled for
+                    pool = [p for p in all_ids if p != pos] or all_ids
+                    while len(negs) < self.num_negatives and pool:
+                        negs.append(rng.choice(pool))
                     neg_ids.append(negs)
                     contents.append([pos_content] + [id2doc[n] for n in negs])
                 q_enc = qt(list(batch["question"]))

@@ -85,8 +85,9 @@ def blip2_greedy_captions(
         ids = jnp.asarray(enc_in["input_ids"], jnp.int32)
         am = jnp.asarray(enc_in["attention_mask"], jnp.int32)
     else:
-        # T5 empty input: a single EOS token
-        eos = tokenizer.eos_token_id or 1
+        # T5 empty input: a single EOS token (`is not None`: eos id 0 is
+        # legitimate and must not fall through to the default)
+        eos = tokenizer.eos_token_id if tokenizer.eos_token_id is not None else 1
         ids = jnp.full((B, 1), eos, jnp.int32)
         am = jnp.ones((B, 1), jnp.int32)
 

@@ -170,9 +170,15 @@ class LoadPreprocessedData(HFDatasetTransform):
                 q = example.get("question") or ""
                 if i.endswith("."):
                     i = i[:-1]
-                example["question"] = (
-                    f"{i} {q}".strip() if i.endswith(":") else f"{i}: {q}".strip()
-                )
+                if not i:
+                    # no instruction: leave the question untouched rather
+                    # than prefixing a stray ": "
+                    example["question"] = q.strip()
+                else:
+                    example["question"] = (
+                        f"{i} {q}".strip() if i.endswith(":")
+                        else f"{i}: {q}".strip()
+                    )
                 return example
 
             for split in all_splits:
@@ -234,7 +240,7 @@ class ConcatenateDatasets(HFDatasetTransform):
     """Merge question datasets split-wise (reference `merge_data_ops.py:437-508`)."""
 
     def setup(self, concat_splits=None, negative_names=None, **kwargs):
-        self.concat_splits = self.setup_kwargs.get("concat_splits", concat_splits) or {}
+        self.concat_splits = concat_splits or {}
         return self
 
     def _call(self, inputs):

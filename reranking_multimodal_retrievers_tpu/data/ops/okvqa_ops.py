@@ -97,8 +97,13 @@ class LoadGoogleSearchAnnotations(HFDatasetTransform):
     (reference `vqa_data_ops.py:804-944`): per question, passages whose
     content contains an answer string become ``pos_item_ids``."""
 
-    def setup(self, annotations_path=None, **kwargs):
+    def setup(self, annotations_path=None, use_all_samples: bool = False,
+              **kwargs):
         self.annotations_path = annotations_path or {}
+        # reference `vqa_data_ops.py:880-895`: questions with no matching
+        # passage are DROPPED in train mode; with use_all_samples (testing)
+        # they get the sentinel first passage instead
+        self.use_all_samples = use_all_samples
         return self
 
     def _call(self, inputs):
@@ -115,17 +120,25 @@ class LoadGoogleSearchAnnotations(HFDatasetTransform):
         for key in passages.keys():
             for row in passages[key]:
                 id2content[row["passage_id"]] = row["passage_content"]
+        # lower the corpus once, not once per question (the real GS corpus
+        # is ~112k passages × ~14k questions)
+        lowered = [(pid, content.lower())
+                   for pid, content in id2content.items()]
+        sentinel = [next(iter(id2content))] if id2content else []
 
         def annotate(example):
-            pos = [
-                pid for pid, content in id2content.items()
-                if any(a.lower() in content.lower() for a in example["answers"])
-            ]
-            example["pos_item_ids"] = pos[:10] or list(id2content.keys())[:1]
+            answers = [a.lower() for a in example["answers"]]
+            pos = [pid for pid, content in lowered
+                   if any(a in content for a in answers)]
+            example["pos_item_ids"] = pos[:10] or (
+                sentinel if self.use_all_samples else [])
             return example
 
         for split in [s for s in data.keys() if not s.endswith("_passages")]:
-            data[split] = data[split].map(annotate, load_from_cache_file=False)
+            mapped = data[split].map(annotate, load_from_cache_file=False)
+            if not self.use_all_samples:
+                mapped = mapped.filter(lambda x: len(x["pos_item_ids"]) > 0)
+            data[split] = mapped
         for key in passages.keys():
             data[key] = passages[key]
         return data
@@ -144,7 +157,8 @@ def select_roi_objects(objects, question: str, max_objects: int):
         xmin, ymin, xmax, ymax = obj["rect"]
         area = (ymax - ymin) * (xmax - xmin)
         sized.append((area, obj))
-        if str(obj.get("class", "")).lower().strip() in (question or "").lower():
+        cls = str(obj.get("class", "")).lower().strip()
+        if cls and cls in (question or "").lower():
             selected.append(obj)
     sized.sort(key=lambda t: t[0], reverse=True)
     for _, obj in sized:

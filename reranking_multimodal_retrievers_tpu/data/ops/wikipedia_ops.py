@@ -180,9 +180,15 @@ class PrepareWikipediaPassageAnnotations(HFDatasetTransform):
         contents = [" ".join(toks) for toks in index.doc_tokens]
 
         def candidates_for(answers):
-            """Answer-phrase candidate generation (ES phrase-search role)."""
+            """Answer-phrase candidate generation (ES phrase-search role).
+            The answer is normalized with the same token regex as the indexed
+            contents, otherwise punctuation ("u.s.", "jean-claude") could
+            never phrase-match the normalized passage text."""
             cand = {}
-            for ans in set(a.lower() for a in answers if a):
+            for raw in set(a.lower() for a in answers if a):
+                ans = " ".join(_TOKEN_RE.findall(raw))
+                if not ans:
+                    continue
                 for i in index.search(ans, self.k):
                     if ans in contents[i]:
                         cand[i] = contents[i]
@@ -263,10 +269,15 @@ class ReduceWikipediaPassagesSize(HFDatasetTransform):
             if "pos_item_ids" in data[split].column_names:
                 for ids in data[split]["pos_item_ids"]:
                     keep_ids.update(ids)
+        rng = np.random.default_rng(0)
         for key in [k for k in data.keys() if k.endswith("_passages")]:
             table = data[key]
             pos_rows = [i for i, pid in enumerate(table["passage_id"]) if pid in keep_ids]
+            pos_set = set(pos_rows)
             n_extra = min(self.num_distractors, len(table) - len(pos_rows))
-            extra = [i for i in range(len(table)) if i not in set(pos_rows)][:n_extra]
-            data[key] = table.select(sorted(set(pos_rows + extra)))
+            others = [i for i in range(len(table)) if i not in pos_set]
+            extra = (rng.choice(len(others), size=n_extra, replace=False)
+                     if n_extra else np.array([], np.int64))
+            extra = [others[int(j)] for j in extra]
+            data[key] = table.select(sorted(pos_set.union(extra)))
         return data

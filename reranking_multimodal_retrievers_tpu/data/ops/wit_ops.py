@@ -204,8 +204,22 @@ class PrepareWITDataForRetrieval(HFDatasetTransform):
             split_df = split_ds.to_pandas().join(
                 passages_df.set_index("original_data_id"),
                 on="original_data_id", how="left",
-            )[["original_data_id", "image_id", "passage_id", "passage_content",
-               "img_id", "img_path"]]
+            )
+            # img_id/img_path come from the image registry built by
+            # PrepareImagesForWITData (LoadWITData itself never adds them);
+            # fall back to image_id / None so the projection below cannot
+            # KeyError on real-data runs.
+            registry = data.get("images", {}) or {}
+            if "img_id" not in split_df.columns:
+                split_df["img_id"] = split_df["image_id"]
+            if "img_path" not in split_df.columns:
+                split_df["img_path"] = [
+                    (registry.get(i) or {}).get("img_path")
+                    for i in split_df["image_id"]
+                ]
+            split_df = split_df[
+                ["original_data_id", "image_id", "passage_id",
+                 "passage_content", "img_id", "img_path"]]
 
             def agg(x):
                 if x.name in ("passage_id", "passage_content", "original_data_id"):

@@ -221,3 +221,62 @@ def test_wikipedia_pseudo_annotation_mining():
     # the rater follows thefuzz token_set_ratio semantics
     assert token_set_ratio("a b c", "a b c") == 100
     assert token_set_ratio("a b c", "c b a d") > token_set_ratio("a b c", "x y z")
+
+
+def test_wikipedia_answer_phrase_normalized_matching():
+    """Punctuated answers ('u.s.') must match the token-normalized passage
+    text — the candidate filter normalizes the answer the same way."""
+    import datasets as hfds
+
+    from reranking_multimodal_retrievers_tpu.data.ops.wikipedia_ops import (
+        BM25Index, PrepareWikipediaPassageAnnotations,
+    )
+
+    passages = hfds.Dataset.from_dict({
+        "passage_id": ["p0", "p1"],
+        "passage_content": [
+            "the u.s. capital is washington",
+            "the u.s. exports pasta and olives",
+        ],
+    })
+    rows = hfds.Dataset.from_dict({
+        "question_id": ["q0"],
+        "question": ["which country's capital is washington"],
+        "answers": [["U.S."]],
+        "gold_answer": ["U.S."],
+        "img_caption": [""],
+        "objects": [[]],
+    })
+    index = BM25Index(list(passages["passage_content"]))
+    indexed = {"index": index, "passage_ids": list(passages["passage_id"]),
+               "passages": {"train_passages": passages}}
+    fn = PrepareWikipediaPassageAnnotations(use_dummy_data=False,
+                                            global_config={})
+    fn.setup(k=2, mode="train")
+    out = fn._call([hfds.DatasetDict({"train": rows}), indexed])
+    assert len(out["train"]) == 1
+    assert "p0" in out["train"][0]["pos_item_ids"]
+
+
+def test_m2kr_empty_instruction_no_stray_colon(monkeypatch, tmp_path):
+    """Rows with instruction='' (e.g. the synthetic task) must keep their
+    question untouched instead of gaining a stray ': ' prefix."""
+    import datasets as hfds
+
+    from reranking_multimodal_retrievers_tpu.data.ops import m2kr_ops
+
+    rows = hfds.DatasetDict({
+        "train": hfds.Dataset.from_dict({
+            "question_id": ["q0", "q1"],
+            "question": ["find pair a b", "what is shown"],
+            "instruction": ["", "Describe the image:"],
+        }),
+    })
+    monkeypatch.setattr(m2kr_ops, "_load_hf",
+                        lambda path: rows if path == "Q" else hfds.DatasetDict())
+    fn = m2kr_ops.LoadPreprocessedData(use_dummy_data=False, global_config={})
+    fn.setup(data_path="Q", passage_path="P", load_instruction=True)
+    out = fn._call(None)
+    qs = list(out["train"]["question"])
+    assert qs[0] == "find pair a b"              # untouched, no ': ' prefix
+    assert qs[1] == "Describe the image: what is shown"

@@ -131,3 +131,48 @@ def test_vg_prepare_for_retrieval_dedups_descriptions():
     rows.update({r["img_id"]: r for r in out["valid"]})
     assert id_of["a red car"] in rows["1"]["pos_item_ids"]
     assert id_of["a red car"] in rows["2"]["pos_item_ids"]
+
+
+def test_select_roi_objects_ignores_classless():
+    # '' is a substring of every question; classless objects must not be
+    # treated as question-mentioned
+    objects = [
+        {"rect": [0, 0, 1, 1]},                      # no class
+        {"class": "", "rect": [0, 0, 2, 2]},         # empty class
+        {"class": "cat", "rect": [0, 0, 10, 10]},
+    ]
+    sel = select_roi_objects(objects, "where is the cat?", max_objects=1)
+    assert [o.get("class") for o in sel] == ["cat"]
+
+
+def test_google_search_annotations_train_drop_vs_test_sentinel():
+    """Reference `vqa_data_ops.py:880-895`: unmatched questions are dropped
+    in train mode and get the sentinel first passage with use_all_samples."""
+    from reranking_multimodal_retrievers_tpu.data.ops.okvqa_ops import (
+        LoadGoogleSearchAnnotations,
+    )
+
+    def make_inputs():
+        questions = datasets.DatasetDict({
+            "train": datasets.Dataset.from_dict({
+                "question_id": ["q1", "q2"],
+                "question": ["a?", "b?"],
+                "answers": [["paris"], ["zzz-nomatch"]],
+            }),
+        })
+        passages = datasets.DatasetDict({
+            "train_passages": datasets.Dataset.from_dict({
+                "passage_id": ["p1", "p2"],
+                "passage_content": ["paris is in france", "other text"],
+            }),
+        })
+        return [questions, passages]
+
+    out = _functor(LoadGoogleSearchAnnotations)(make_inputs())
+    assert list(out["train"]["question_id"]) == ["q1"]      # q2 dropped
+    assert list(out["train"]["pos_item_ids"]) == [["p1"]]
+
+    out = _functor(LoadGoogleSearchAnnotations, use_all_samples=True)(
+        make_inputs())
+    assert list(out["train"]["question_id"]) == ["q1", "q2"]
+    assert list(out["train"]["pos_item_ids"][1]) == ["p1"]  # sentinel
