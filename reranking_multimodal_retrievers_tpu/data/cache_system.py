@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import tempfile
 from typing import Any
 
 
@@ -30,8 +31,17 @@ def cache_data_to_disk(data: Any, name: str, cache_dir: str) -> str:
         data.save_to_disk(path)
         return path
     path = os.path.join(cache_dir, name + ".pkl")
-    with open(path, "wb") as f:
-        pickle.dump(data, f, protocol=pickle.HIGHEST_PROTOCOL)
+    # tmp + atomic rename: a write interrupted by OOM/preemption must not
+    # leave a truncated pickle that cache_exists() would treat as valid
+    fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".pkl.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(data, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
     return path
 
 

@@ -82,6 +82,9 @@ class BaseDataset(ModuleParser):
         feats = [p["image_features"] for p in parsed if p["image_features"] is not None]
         if feats:
             batch["image_features"] = np.stack(feats)
+            # expose to the postprocess dict too, so the *FromEmbeddings
+            # postprocessors can fire
+            input_data["image_features"] = feats
         self._run_postprocess(input_data, mc.get("postprocess_module_list", []), batch)
 
         if mc.get("decoder_input_modules"):
@@ -90,7 +93,15 @@ class BaseDataset(ModuleParser):
             ]
             ddata = {
                 "text_sequences": _flatten_text(dparsed),
+                # passage-side vision inputs (PassageVisionInput) feed the
+                # decoder postprocessors (Blip2Vision / ItemVisionFrom
+                # Embeddings); without these keys they silently no-op
+                "images": sum((p["images"] for p in dparsed), []),
             }
+            dfeats = [p["image_features"] for p in dparsed
+                      if p["image_features"] is not None]
+            if dfeats:
+                ddata["image_features"] = dfeats
             dec = self._run_postprocess(
                 ddata, mc.get("postprocess_decoder_input_module_list", []), {}
             )

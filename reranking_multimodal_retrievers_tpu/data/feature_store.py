@@ -50,10 +50,12 @@ class FeatureStore:
     def put(self, key: str, value: Any) -> None:
         if isinstance(value, np.ndarray):
             path, writer = self._path(key, ".npy"), lambda f: np.save(f, value)
+            other = self._path(key, ".json")
         else:
             path, writer = self._path(key, ".json"), (
                 lambda f: f.write(json.dumps(value).encode())
             )
+            other = self._path(key, ".npy")
         fd, tmp = tempfile.mkstemp(dir=self.dir)
         try:
             with os.fdopen(fd, "wb") as f:
@@ -63,6 +65,10 @@ class FeatureStore:
             if os.path.exists(tmp):
                 os.unlink(tmp)
             raise
+        # a type-changing overwrite must not leave the old-extension file
+        # shadowing the new value in get()/__contains__/keys()
+        if os.path.exists(other):
+            os.unlink(other)
 
     def get(self, key: str, default: Any = None) -> Any:
         npy = self._path(key, ".npy")

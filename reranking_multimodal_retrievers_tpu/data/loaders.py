@@ -33,7 +33,11 @@ class CLIPImageProcessorNP:
         out = []
         for img in images:
             if isinstance(img, np.ndarray):
-                img = Image.fromarray(img.astype(np.uint8))
+                if np.issubdtype(img.dtype, np.floating):
+                    # float images are [0,1]-scaled; a bare uint8 cast
+                    # would truncate every pixel to 0/1 (black frames)
+                    img = np.clip(img * 255.0, 0, 255)
+                img = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
             img = img.convert("RGB")
             w, h = img.size
             s = self.image_size

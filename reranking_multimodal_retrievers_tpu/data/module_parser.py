@@ -31,9 +31,12 @@ PostProcessConcatenateLabels (`:906`).
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Dict, List, Optional
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 class ModuleParser:
@@ -266,6 +269,14 @@ class ModuleParser:
             for s in data["text_sequences"]
         ]
         if "<image>" not in tok.get_vocab():
+            # LLaVA tokenizers ship with <image>; adding it here grows the
+            # vocab AFTER any embedding table sized from it — on TPU an
+            # out-of-range gather clamps silently, so surface it loudly
+            logger.warning(
+                "tokenizer lacks '<image>': adding it at collate time; "
+                "models initialized from the original vocab_size will "
+                "mis-embed the image token — resize embeddings or use a "
+                "LLaVA tokenizer")
             tok.add_tokens(["<image>"])
         enc = tok(
             [self.LLAVA_TASK_PREFIX + s for s in texts],
@@ -282,6 +293,11 @@ class ModuleParser:
         max_len = ids.shape[1]
         image_mask, instruction_mask, question_mask = [], [], []
         for row in ids:
+            # seps[1]: the first ':' ends the task prefix, the second ends
+            # the instruction — faithful to the reference
+            # (`module_parser.py:577` torch.where(Q==sep_id)[0][1]),
+            # including its known fragility when the question text itself
+            # contains a standalone ':'
             seps = np.where(row == sep_id)[0]
             sep_index = int(seps[1]) if len(seps) > 1 else (int(seps[0]) if len(seps) else 0)
             imgs = np.where(row == img_id)[0]

@@ -21,8 +21,16 @@ from typing import Dict
 import numpy as np
 
 
+def _to_numpy(v) -> np.ndarray:
+    """torch tensor → numpy; bf16 has no numpy dtype, go through float32."""
+    v = v.detach().cpu() if hasattr(v, "detach") else v
+    if hasattr(v, "dtype") and str(v.dtype) == "torch.bfloat16":
+        v = v.float()
+    return v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+
+
 def state_dict_from_torch(module) -> Dict[str, np.ndarray]:
-    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+    return {k: _to_numpy(v) for k, v in module.state_dict().items()}
 
 
 def load_torch_checkpoint_dir(path: str) -> Dict[str, np.ndarray]:
@@ -32,16 +40,19 @@ def load_torch_checkpoint_dir(path: str) -> Dict[str, np.ndarray]:
     st_files = [n for n in names if n.endswith(".safetensors")]
     bin_files = [n for n in names if n.endswith(".bin")]
     if st_files:
-        from safetensors.numpy import load_file
+        # load via torch, not safetensors.numpy: bf16 checkpoints have no
+        # numpy dtype and the numpy loader rejects them
+        from safetensors.torch import load_file
 
         for n in st_files:
-            out.update(load_file(os.path.join(path, n)))
+            sd = load_file(os.path.join(path, n))
+            out.update({k: _to_numpy(v) for k, v in sd.items()})
     elif bin_files:
         import torch
 
         for n in bin_files:
             sd = torch.load(os.path.join(path, n), map_location="cpu", weights_only=True)
-            out.update({k: v.numpy() for k, v in sd.items()})
+            out.update({k: _to_numpy(v) for k, v in sd.items()})
     else:
         raise FileNotFoundError(f"no .safetensors or .bin files under {path}")
     return out

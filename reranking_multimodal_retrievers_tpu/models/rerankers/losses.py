@@ -44,7 +44,16 @@ def prepare_logits_labels(
             logits = jnp.concatenate([logits, logits_secondary], axis=1)
     elif loss_fn_name == "negative_sampling":
         logits = logits.reshape(-1, num_negative_examples + 1)
-        labels = jnp.zeros((batch_size,), jnp.int32)
+        if labels is None:
+            # the reference's sampling path always places the positive at
+            # group index 0 (`Reranker_base_executor.py:513-515`)
+            labels = jnp.zeros((batch_size,), jnp.int32)
+        else:
+            # explicit per-row binary labels → positive's index within each
+            # (1+N) group, instead of silently discarding the caller's labels
+            labels = jnp.argmax(
+                labels.reshape(-1, num_negative_examples + 1), axis=1
+            ).astype(jnp.int32)
     else:
         raise ValueError(f"Unknown loss function {loss_fn_name}")
     return logits, labels

@@ -172,3 +172,23 @@ def test_bert_cross_attention_parity():
         encoder_mask_bias=additive_mask(jnp.asarray(enc_mask)),
     )
     np.testing.assert_allclose(np.asarray(got), want, **TOL)
+
+
+def test_bridge_handles_bfloat16_tensors():
+    """bf16 checkpoints have no numpy dtype; the bridge must convert via
+    float32 instead of raising."""
+    import numpy as np
+    import torch
+
+    from reranking_multimodal_retrievers_tpu.models.hf_bridge import (
+        state_dict_from_torch, _to_numpy,
+    )
+
+    t = torch.arange(6, dtype=torch.float32).reshape(2, 3).to(torch.bfloat16)
+    out = _to_numpy(t)
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out, np.arange(6, dtype=np.float32).reshape(2, 3))
+
+    lin = torch.nn.Linear(2, 2).to(torch.bfloat16)
+    sd = state_dict_from_torch(lin)
+    assert all(v.dtype == np.float32 for v in sd.values())

@@ -102,3 +102,53 @@ def test_colbert_aliases_match_flmr(bert_tok):
     a = host.PostProcessFLMRQuestionInputTokenization(data, {"max_length": 16})
     b = host.PostProcessColBERTQuestionInputTokenization(data, {"max_length": 16})
     np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
+
+
+def test_decoder_side_vision_reaches_postprocessors(bert_tok):
+    """Passage-side vision inputs must flow into the decoder postprocess
+    dict — previously collate only passed text_sequences and the vision
+    postprocessors silently returned {} (text-only training, no error)."""
+    from reranking_multimodal_retrievers_tpu.data.datasets import BaseDataset
+
+    rows = [
+        {"question": "what is this", "passage_content": "a passage",
+         "passage_image_features": [1.0, 2.0, 3.0, 4.0]},
+        {"question": "where is the dog", "passage_content": "another",
+         "passage_image_features": [5.0, 6.0, 7.0, 8.0]},
+    ]
+    mc = {
+        "input_modules": [{"type": "QuestionInput", "option": "default"}],
+        "postprocess_module_list": [
+            {"type": "PostProcessInputTokenization", "max_length": 12},
+        ],
+        "decoder_input_modules": [
+            {"type": "KnowledgeInput"},
+            {"type": "PassageVisionInput", "option": "from_embeddings"},
+        ],
+        "postprocess_decoder_input_module_list": [
+            {"type": "PostProcessDecoderInputTokenization", "max_length": 12},
+            {"type": "PostProcessItemVisionInputFromEmbeddings"},
+        ],
+    }
+    ds = BaseDataset({"max_source_length": 12}, rows, mc,
+                     tokenizer=bert_tok, decoder_tokenizer=bert_tok)
+    batch = ds.collate_fn(rows)
+    assert "decoder_item_image_features" in batch
+    assert batch["decoder_item_image_features"].shape == (2, 4)
+
+
+def test_clip_processor_float_images():
+    """Float [0,1] images must be rescaled, not truncated to black."""
+    from reranking_multimodal_retrievers_tpu.data.loaders import (
+        CLIPImageProcessorNP,
+    )
+
+    proc = CLIPImageProcessorNP(image_size=32)
+    rng = np.random.default_rng(0)
+    img_u8 = rng.integers(0, 256, size=(48, 48, 3), dtype=np.uint8)
+    img_f = img_u8.astype(np.float32) / 255.0
+    out_u8 = proc([img_u8])
+    out_f = proc([img_f])
+    np.testing.assert_allclose(out_f, out_u8, atol=1e-5)
+    # non-degenerate output (not all-black post-normalization constant)
+    assert np.std(out_f) > 0.1

@@ -244,3 +244,22 @@ def test_prepare_full_context_inputs():
     # token_type_ids: 0 for query segment, 1 for context segment
     assert out["token_type_ids"][0].max() == 1
     assert out["token_type_ids"][0][0] == 0
+
+
+def test_negative_sampling_honors_explicit_labels():
+    """Explicit labels with the positive NOT at group index 0 must be
+    converted to group indices, not silently replaced with zeros."""
+    import jax.numpy as jnp
+
+    B, n_neg = 2, 2
+    logits = jnp.arange(B * (n_neg + 1), dtype=jnp.float32).reshape(-1, 1)
+    # positives at positions 1 and 2 of the two groups
+    labels = jnp.array([0, 1, 0, 0, 0, 1], jnp.float32)
+    out_logits, out_labels = prepare_logits_labels(
+        "negative_sampling", logits, logits, B, n_neg, labels)
+    assert out_logits.shape == (B, n_neg + 1)
+    assert out_labels.tolist() == [1, 2]
+    # default (no labels): reference's positive-first convention
+    _, default_labels = prepare_logits_labels(
+        "negative_sampling", logits, logits, B, n_neg)
+    assert default_labels.tolist() == [0, 0]

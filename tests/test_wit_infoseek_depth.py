@@ -323,3 +323,22 @@ def test_caption_v2_publishes_and_v3_resumes(tmp_path):
     caps = dict(zip(out3["train"]["image_id"], out3["train"]["caption"]))
     assert caps["a"] == "hand-written caption"
     assert caps["b"]  # generated for the missing one
+
+
+def test_feature_store_type_changing_overwrite(tmp_path):
+    """put() must not leave a stale other-extension file shadowing the
+    new value."""
+    import numpy as np
+
+    from reranking_multimodal_retrievers_tpu.data.feature_store import (
+        FeatureStore,
+    )
+
+    store = FeatureStore(str(tmp_path), index_name="x")
+    store.put("k", np.ones(3))
+    store.put("k", "a caption")
+    assert store.get("k") == "a caption"
+    assert len(list(store.keys())) == 1
+    store.put("k", np.zeros(2))
+    np.testing.assert_array_equal(store.get("k"), np.zeros(2))
+    assert len(list(store.keys())) == 1
