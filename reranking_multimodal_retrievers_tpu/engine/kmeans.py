@@ -61,11 +61,14 @@ def kmeans(x: jax.Array, init: jax.Array, k: int, n_iters: int = 20):
 
 def train_centroids(sample: np.ndarray, k: int, n_iters: int = 20, seed: int = 0):
     """Host wrapper: pick random init rows, run jitted Lloyd iterations."""
+    if len(sample) == 0:
+        raise ValueError("train_centroids: empty sample")
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(sample), size=min(k, len(sample)), replace=False)
     init = sample[idx]
-    if len(init) < k:  # pad degenerate case
-        init = np.concatenate([init, sample[: k - len(init)]])
+    if len(init) < k:  # degenerate case: tile until the [k, d] carry is full
+        reps = -(-k // len(init))  # ceil
+        init = np.concatenate([init] * reps)[:k]
     c, a = kmeans(jnp.asarray(sample, jnp.float32), jnp.asarray(init, jnp.float32),
                   k=k, n_iters=n_iters)
     return np.asarray(c), np.asarray(a)

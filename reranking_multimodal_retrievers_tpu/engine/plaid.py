@@ -52,7 +52,8 @@ def _two_stage_search(Q, codes, residuals, centroids, scales, mask,
     _, per_chunk = jax.lax.scan(chunk_scores, None, blocks)
     stage1 = jnp.moveaxis(per_chunk, 0, 1).reshape(B, N)
 
-    cand_scores, cand_ids = jax.lax.top_k(stage1, n_candidates)  # [B, n_cand]
+    # stage-1 scores are only used to pick candidates; stage 2 re-scores
+    _, cand_ids = jax.lax.top_k(stage1, n_candidates)  # [B, n_cand]
 
     # stage 2: decompress candidates at fp32 and re-score exactly
     c_codes = codes[cand_ids]  # [B, n_cand, L_d]

@@ -103,13 +103,15 @@ class BaseExecutor(MetricsProcessor):
 
     def frozen_patterns(self):
         """Vision encoders frozen by default (reference
-        `FLMR_base_executor.py:185-189`); extended via model_config.modules."""
+        `FLMR_base_executor.py:185-189`); extended via model_config.modules.
+        ``vision_model`` covers the BLIP-2 tower (`models/blip2.py:252`),
+        whose module name differs from the FLMR/CLIP ``vision_encoder``."""
         modules = self.config.get_path("model_config.modules", []) or []
         patterns = []
         if "freeze_vision_encoders" in modules or not modules:
             patterns.append("vision_encoder")
         if "freeze_reranker_vision_encoder" in modules:
-            patterns.append("vision_encoder")
+            patterns.extend(["vision_encoder", "vision_model"])
         return patterns
 
     # -------------------------------------------------------------- train

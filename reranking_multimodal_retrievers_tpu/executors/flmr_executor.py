@@ -58,6 +58,15 @@ def flmr_config_from(model_config: ConfigDict, query_tokenizer=None,
 
 @register_executor
 class FLMRExecutor(BaseExecutor):
+    def frozen_patterns(self):
+        """The reference freezes BOTH FLMR vision encoders unconditionally
+        (`FLMR_base_executor.py:185-189`), regardless of which other module
+        flags are set."""
+        patterns = list(super().frozen_patterns())
+        if "vision_encoder" not in patterns:
+            patterns.append("vision_encoder")
+        return patterns
+
     # ------------------------------------------------------------ model
     def _init_model(self):
         import jax

@@ -111,18 +111,36 @@ class RagExecutor(RerankerExecutor):
         self._train_state = None
 
     # ------------------------------------------------- generator dispatch
-    def _encode(self, params, input_ids, attention_mask, pixel_values=None):
+    def _encode(self, params, input_ids, attention_mask, pixel_values=None,
+                vision_prefix=None):
         """(enc_states, enc_mask) for either backbone — safe under jit."""
         if self.backbone == "blip2":
             from ..models.blip2 import Blip2ForConditionalGeneration
 
             return self.generator.apply(
                 {"params": params}, input_ids, attention_mask, pixel_values,
+                vision_prefix,
                 method=Blip2ForConditionalGeneration.encode_for_generation,
             )
         return self.generator.apply(
             {"params": params}, input_ids, attention_mask, pixel_values,
-            method=VisionSeq2SeqLM.encode,
+            vision_prefix, method=VisionSeq2SeqLM.encode,
+        )
+
+    def _vision_prefix(self, params, pixel_values):
+        """Projected vision tokens, computed once per IMAGE — callers repeat
+        the (cheap) prefix over the K candidate docs instead of running the
+        vision tower K times on identical pixels."""
+        if self.backbone == "blip2":
+            from ..models.blip2 import Blip2ForConditionalGeneration
+
+            return self.generator.apply(
+                {"params": params}, pixel_values,
+                method=Blip2ForConditionalGeneration.vision_prefix,
+            )
+        return self.generator.apply(
+            {"params": params}, pixel_values,
+            method=VisionSeq2SeqLM.vision_prefix,
         )
 
     def _decode_logits(self, params, decoder_input_ids, enc_states, enc_mask):
@@ -140,34 +158,11 @@ class RagExecutor(RerankerExecutor):
         return logits
 
     def generate(self, input_ids, attention_mask, pixel_values=None) -> np.ndarray:
-        """Greedy decode under ``lax.scan`` (static length — XLA-friendly)."""
-        import jax
-        import jax.numpy as jnp
-
-        if getattr(self, "_gen_fn", None) is None:
-
-            @jax.jit
-            def _gen(params, ids, mask, pix):
-                enc_states, enc_mask = self._encode(params, ids, mask, pix)
-                B = ids.shape[0]
-                start = jnp.full((B, 1), self.decoder_start_token_id, jnp.int32)
-
-                def step(tokens, _):
-                    logits = self._decode_logits(params, tokens, enc_states, enc_mask)
-                    nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-                    tokens = jnp.concatenate([tokens[:, 1:], nxt[:, None]], axis=1)
-                    return tokens, nxt
-
-                # fixed-width rolling window keeps shapes static
-                init = jnp.pad(start, ((0, 0), (self.max_answer_length - 1, 0)))
-                _, outs = jax.lax.scan(step, init, None,
-                                       length=self.max_answer_length)
-                return jnp.swapaxes(outs, 0, 1)  # [B, L]
-
-            self._gen_fn = _gen
-        return np.asarray(
-            self._gen_fn(self.params, input_ids, attention_mask, pixel_values)
-        )
+        """Greedy decode — the decode half of :meth:`generate_with_losses`
+        (one shared jitted program; tokens only)."""
+        tokens, _ = self.generate_with_losses(
+            input_ids, attention_mask, pixel_values)
+        return tokens
 
     # ------------------------------------------------------------- train
     def prepare_training(self, total_steps: int):
@@ -189,9 +184,12 @@ class RagExecutor(RerankerExecutor):
         @jax.jit
         def step(params, opt_state, batch):
             def loss_fn(p):
+                pix = batch.get("pixel_values")  # [B, ...]: one per IMAGE
+                prefix = (jnp.repeat(self._vision_prefix(p, pix), K, axis=0)
+                          if pix is not None else None)
                 enc_states, enc_mask = self._encode(
                     p, batch["input_ids"], batch["attention_mask"],
-                    batch.get("pixel_values"),
+                    vision_prefix=prefix,
                 )
                 logits = self._decode_logits(
                     p, batch["decoder_input_ids"], enc_states, enc_mask
@@ -262,9 +260,10 @@ class RagExecutor(RerankerExecutor):
         )
         pix = batch.get("pixel_values")
         if pix is not None:
+            # un-repeated [B, ...]: the train step computes the vision
+            # prefix once per image and repeats the prefix over the K docs
             model_batch["pixel_values"] = jnp.asarray(
-                np.repeat(np.asarray(pix), K, axis=0), jnp.float32
-            )
+                np.asarray(pix), jnp.float32)
         self.params, self._opt_state, loss = self._step(
             self.params, self._opt_state, model_batch
         )
@@ -290,24 +289,46 @@ class RagExecutor(RerankerExecutor):
 
             @jax.jit
             def _gen_loss(params, ids, mask, pix):
-                enc_states, enc_mask = self._encode(params, ids, mask, pix)
-                B = ids.shape[0]
+                B, L = ids.shape[0], self.max_answer_length
+                prefix = None
+                if pix is not None:
+                    # vision tower runs once per IMAGE; the prefix is
+                    # repeated over this image's candidate docs
+                    prefix = jnp.repeat(
+                        self._vision_prefix(params, pix),
+                        B // pix.shape[0], axis=0)
+                enc_states, enc_mask = self._encode(
+                    params, ids, mask, vision_prefix=prefix)
                 start = jnp.full((B, 1), self.decoder_start_token_id, jnp.int32)
 
-                def step(tokens, _):
+                # LEFT-aligned fixed-length buffer: logits at position t
+                # depend only on positions <= t under the causal bias, so
+                # the pad filler past the frontier is never attended, and
+                # positions line up exactly with the teacher-forced
+                # re-scoring pass below (the former right-aligned rolling
+                # window attended unmasked left-fill and scored under a
+                # different alignment).
+                init = jnp.concatenate(
+                    [start, jnp.full((B, L - 1), pad_id, jnp.int32)], axis=1)
+
+                def step(tokens, t):
                     logits = self._decode_logits(params, tokens,
                                                  enc_states, enc_mask)
-                    nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-                    tokens = jnp.concatenate([tokens[:, 1:], nxt[:, None]],
-                                             axis=1)
+                    nxt = jnp.argmax(logits[:, t, :], axis=-1).astype(jnp.int32)
+                    # write g_t at t+1 (the last step's token is emitted via
+                    # ys only; clamp keeps the write in bounds, `where`
+                    # makes it a no-op there)
+                    pos = jnp.minimum(t + 1, L - 1)
+                    cur = jax.lax.dynamic_slice_in_dim(tokens, pos, 1, 1)[:, 0]
+                    upd = jnp.where(t + 1 < L, nxt, cur)
+                    tokens = jax.lax.dynamic_update_slice(
+                        tokens, upd[:, None], (0, pos))
                     return tokens, nxt
 
-                init = jnp.pad(start, ((0, 0), (self.max_answer_length - 1, 0)))
-                _, outs = jax.lax.scan(step, init, None,
-                                       length=self.max_answer_length)
+                _, outs = jax.lax.scan(step, init, jnp.arange(L))
                 labels = jnp.swapaxes(outs, 0, 1)  # [B, L]
                 # teacher-forced NLL of the generated tokens on the SAME
-                # encoder states
+                # encoder states and the SAME [start, g_0..g_{L-2}] layout
                 dec_in = jnp.concatenate([start, labels[:, :-1]], axis=1)
                 logits = self._decode_logits(params, dec_in,
                                              enc_states, enc_mask)
@@ -352,11 +373,10 @@ class RagExecutor(RerankerExecutor):
                               return_tensors="np")
                     pix = None
                     if pix_all is not None:
+                        # one image; generate_with_losses broadcasts its
+                        # vision prefix over the len(prompts) candidates
                         pix = jnp.asarray(
-                            np.repeat(np.asarray(pix_all)[qi : qi + 1],
-                                      len(prompts), axis=0),
-                            jnp.float32,
-                        )
+                            np.asarray(pix_all)[qi : qi + 1], jnp.float32)
                     ids = jnp.asarray(enc["input_ids"], jnp.int32)
                     am = jnp.asarray(enc["attention_mask"], jnp.int32)
                     # one program: encode once, greedy-decode per doc, and

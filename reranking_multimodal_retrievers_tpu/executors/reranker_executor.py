@@ -415,7 +415,8 @@ class RerankerExecutor(BaseExecutor):
         nway = self.num_negative_samples + 1
         doc_ids, labels = [], []
         for qi, qid in enumerate(batch["question_ids"]):
-            pos = batch.get("pos_item_ids", [[None]])[qi]
+            pos = (batch.get("pos_item_ids") or
+                   [[]] * len(batch["question_ids"]))[qi]
             sel, lab = self._select_training_docs(qid, [p for p in pos if p])
             doc_ids.extend(sel)
             labels.extend(lab)
@@ -625,7 +626,8 @@ class RerankerExecutor(BaseExecutor):
                     }
                 doc_ids, labels = [], []
                 for qi, qid in enumerate(batch["question_ids"]):
-                    pos = batch.get("pos_item_ids", [[None]])[qi]
+                    pos = (batch.get("pos_item_ids") or
+                           [[]] * len(batch["question_ids"]))[qi]
                     sel, lab = self._select_training_docs(
                         qid, [p for p in pos if p])
                     doc_ids.extend(sel)

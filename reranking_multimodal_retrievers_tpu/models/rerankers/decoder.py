@@ -126,15 +126,25 @@ class VisionSeq2SeqLM(nn.Module):
         self.final_norm = nn.LayerNorm(epsilon=tc.layer_norm_eps, name="final_norm")
         self.lm_head = nn.Dense(tc.vocab_size, use_bias=False, name="lm_head")
 
-    def encode(self, input_ids, attention_mask, pixel_values=None):
+    def vision_prefix(self, pixel_values):
+        """[B, vision_prefix_length, H] projected vision tokens — computed
+        once per image and repeated over candidates by callers that pair one
+        image with K text prompts (RAG per-doc generation)."""
+        cfg = self.config
+        vis = self.vision_encoder(pixel_values)["last_hidden_state"][:, 0]
+        return self.vision_projection(vis).reshape(
+            pixel_values.shape[0], cfg.vision_prefix_length, -1
+        )
+
+    def encode(self, input_ids, attention_mask, pixel_values=None,
+               vision_prefix=None):
         cfg = self.config
         x = self.embed(input_ids)
         x = x + self.pos_embed(jnp.arange(x.shape[1])[None, :])
-        if pixel_values is not None:
-            vis = self.vision_encoder(pixel_values)["last_hidden_state"][:, 0]
-            prefix = self.vision_projection(vis).reshape(
-                x.shape[0], cfg.vision_prefix_length, -1
-            )
+        if vision_prefix is None and pixel_values is not None:
+            vision_prefix = self.vision_prefix(pixel_values)
+        if vision_prefix is not None:
+            prefix = vision_prefix.astype(x.dtype)
             x = jnp.concatenate([prefix, x], axis=1)
             attention_mask = jnp.concatenate(
                 [

@@ -269,3 +269,48 @@ def test_token_index_meta_records_on_disk_dtype(tmp_path, corpus):
 
     on_disk = _np.load(_os.path.join(p, "embeddings.npy"))
     assert meta["dtype"] == str(on_disk.dtype) == "float16"
+
+
+def test_train_centroids_sample_much_smaller_than_k():
+    """len(sample) < k/2 must tile the init up to k rows, not crash the
+    jitted scan with a carry-shape mismatch."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, 8)).astype(np.float32)
+    c, assign = train_centroids(x, k=16, n_iters=3)
+    assert c.shape == (16, 8)
+    assert assign.shape == (3,)
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        train_centroids(np.zeros((0, 8), np.float32), k=4)
+
+
+def test_vision_seq2seq_precomputed_prefix_matches_pixels():
+    """encode(vision_prefix=precomputed) must equal encode(pixel_values) —
+    the RAG executor computes the prefix once per image and repeats it over
+    candidate docs."""
+    import jax
+    import jax.numpy as jnp
+
+    from reranking_multimodal_retrievers_tpu.models.rerankers.decoder import (
+        VisionSeq2SeqLM, DecoderRerankConfig,
+    )
+
+    cfg = DecoderRerankConfig.tiny()
+    model = VisionSeq2SeqLM(cfg)
+    img = cfg.vision_config.image_size
+    ids = jnp.ones((2, 6), jnp.int32)
+    mask = jnp.ones((2, 6), jnp.int32)
+    pix = jax.random.normal(jax.random.PRNGKey(0), (2, 3, img, img))
+    params = model.init(jax.random.PRNGKey(1), ids, mask,
+                        jnp.ones((2, 1), jnp.int32), pix)["params"]
+
+    direct, m1 = model.apply({"params": params}, ids, mask, pix,
+                             method=VisionSeq2SeqLM.encode)
+    prefix = model.apply({"params": params}, pix,
+                         method=VisionSeq2SeqLM.vision_prefix)
+    via_prefix, m2 = model.apply({"params": params}, ids, mask, None, prefix,
+                                 method=VisionSeq2SeqLM.encode)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(via_prefix),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
