@@ -39,6 +39,50 @@ from .reranker_executor import RerankerExecutor
 logger = logging.getLogger(__name__)
 
 
+def greedy_decode_with_nll(decode_logits, enc_states, enc_mask,
+                           start_id: int, pad_id: int, max_len: int):
+    """Greedy decode + teacher-forced NLL of the generated tokens, sharing
+    one encoder pass. Pure (jit-safe); ``decode_logits(tokens) -> [B, L, V]``.
+
+    Uses a LEFT-aligned fixed-length buffer: logits at position t depend
+    only on positions <= t under the causal bias, so the pad filler past
+    the frontier is never attended, and positions line up exactly with the
+    teacher-forced re-scoring pass (a right-aligned rolling window would
+    attend unmasked left-fill and score under a different alignment).
+    Returns ``(labels [B, L], losses [B])``."""
+    import jax
+    import jax.numpy as jnp
+
+    B, L = enc_states.shape[0], max_len
+    start = jnp.full((B, 1), start_id, jnp.int32)
+    init = jnp.concatenate(
+        [start, jnp.full((B, L - 1), pad_id, jnp.int32)], axis=1)
+
+    def step(tokens, t):
+        logits = decode_logits(tokens)
+        nxt = jnp.argmax(logits[:, t, :], axis=-1).astype(jnp.int32)
+        # write g_t at t+1 (the last step's token is emitted via ys only;
+        # clamp keeps the write in bounds, `where` makes it a no-op there)
+        pos = jnp.minimum(t + 1, L - 1)
+        cur = jax.lax.dynamic_slice_in_dim(tokens, pos, 1, 1)[:, 0]
+        upd = jnp.where(t + 1 < L, nxt, cur)
+        tokens = jax.lax.dynamic_update_slice(tokens, upd[:, None], (0, pos))
+        return tokens, nxt
+
+    _, outs = jax.lax.scan(step, init, jnp.arange(L))
+    labels = jnp.swapaxes(outs, 0, 1)  # [B, L]
+    # teacher-forced NLL of the generated tokens on the SAME encoder states
+    # and the SAME [start, g_0..g_{L-2}] layout
+    dec_in = jnp.concatenate([start, labels[:, :-1]], axis=1)
+    logits = decode_logits(dec_in)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tok_ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    label_mask = (labels != pad_id).astype(jnp.float32)
+    denom = jnp.maximum(label_mask.sum(-1), 1.0)
+    losses = -(tok_ll * label_mask).sum(-1) / denom
+    return labels, losses
+
+
 @register_executor
 class RagExecutor(RerankerExecutor):
     """Inherits static retrieval + corpus plumbing from RerankerExecutor and
@@ -289,56 +333,20 @@ class RagExecutor(RerankerExecutor):
 
             @jax.jit
             def _gen_loss(params, ids, mask, pix):
-                B, L = ids.shape[0], self.max_answer_length
                 prefix = None
                 if pix is not None:
                     # vision tower runs once per IMAGE; the prefix is
                     # repeated over this image's candidate docs
                     prefix = jnp.repeat(
                         self._vision_prefix(params, pix),
-                        B // pix.shape[0], axis=0)
+                        ids.shape[0] // pix.shape[0], axis=0)
                 enc_states, enc_mask = self._encode(
                     params, ids, mask, vision_prefix=prefix)
-                start = jnp.full((B, 1), self.decoder_start_token_id, jnp.int32)
-
-                # LEFT-aligned fixed-length buffer: logits at position t
-                # depend only on positions <= t under the causal bias, so
-                # the pad filler past the frontier is never attended, and
-                # positions line up exactly with the teacher-forced
-                # re-scoring pass below (the former right-aligned rolling
-                # window attended unmasked left-fill and scored under a
-                # different alignment).
-                init = jnp.concatenate(
-                    [start, jnp.full((B, L - 1), pad_id, jnp.int32)], axis=1)
-
-                def step(tokens, t):
-                    logits = self._decode_logits(params, tokens,
-                                                 enc_states, enc_mask)
-                    nxt = jnp.argmax(logits[:, t, :], axis=-1).astype(jnp.int32)
-                    # write g_t at t+1 (the last step's token is emitted via
-                    # ys only; clamp keeps the write in bounds, `where`
-                    # makes it a no-op there)
-                    pos = jnp.minimum(t + 1, L - 1)
-                    cur = jax.lax.dynamic_slice_in_dim(tokens, pos, 1, 1)[:, 0]
-                    upd = jnp.where(t + 1 < L, nxt, cur)
-                    tokens = jax.lax.dynamic_update_slice(
-                        tokens, upd[:, None], (0, pos))
-                    return tokens, nxt
-
-                _, outs = jax.lax.scan(step, init, jnp.arange(L))
-                labels = jnp.swapaxes(outs, 0, 1)  # [B, L]
-                # teacher-forced NLL of the generated tokens on the SAME
-                # encoder states and the SAME [start, g_0..g_{L-2}] layout
-                dec_in = jnp.concatenate([start, labels[:, :-1]], axis=1)
-                logits = self._decode_logits(params, dec_in,
-                                             enc_states, enc_mask)
-                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-                tok_ll = jnp.take_along_axis(
-                    logp, labels[..., None], axis=-1)[..., 0]
-                label_mask = (labels != pad_id).astype(jnp.float32)
-                denom = jnp.maximum(label_mask.sum(-1), 1.0)
-                losses = -(tok_ll * label_mask).sum(-1) / denom
-                return labels, losses
+                return greedy_decode_with_nll(
+                    lambda toks: self._decode_logits(
+                        params, toks, enc_states, enc_mask),
+                    enc_states, enc_mask, self.decoder_start_token_id,
+                    pad_id, self.max_answer_length)
 
             self._gen_loss_fn = _gen_loss
         tokens, losses = self._gen_loss_fn(

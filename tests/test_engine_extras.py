@@ -314,3 +314,57 @@ def test_vision_seq2seq_precomputed_prefix_matches_pixels():
     np.testing.assert_allclose(np.asarray(direct), np.asarray(via_prefix),
                                atol=1e-6)
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_greedy_decode_nll_alignment():
+    """The generation pass and the teacher-forced scoring pass must share
+    the same conditioning: re-decoding [start, g_0..g_{L-2}] must reproduce
+    each generated token as the argmax at its own position, and the
+    returned losses must equal the manual masked NLL."""
+    import jax
+    import jax.numpy as jnp
+
+    from reranking_multimodal_retrievers_tpu.executors.rag_executor import (
+        greedy_decode_with_nll,
+    )
+    from reranking_multimodal_retrievers_tpu.models.rerankers.decoder import (
+        VisionSeq2SeqLM, DecoderRerankConfig,
+    )
+
+    cfg = DecoderRerankConfig.tiny()
+    model = VisionSeq2SeqLM(cfg)
+    B, Ls, L = 3, 7, 6
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(1, cfg.text_config.vocab_size,
+                                          (B, Ls)), jnp.int32)
+    mask = jnp.ones((B, Ls), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, mask,
+                        jnp.ones((B, 1), jnp.int32))["params"]
+    enc_states, enc_mask = model.apply({"params": params}, ids, mask,
+                                       method=VisionSeq2SeqLM.encode)
+
+    def decode_logits(toks):
+        logits, _ = model.apply({"params": params}, toks, enc_states,
+                                enc_mask, method=VisionSeq2SeqLM.decode)
+        return logits
+
+    start_id, pad_id = 2, 0
+    labels, losses = jax.jit(
+        lambda: greedy_decode_with_nll(decode_logits, enc_states, enc_mask,
+                                       start_id, pad_id, L))()
+    labels, losses = np.asarray(labels), np.asarray(losses)
+    assert labels.shape == (B, L)
+
+    # scoring conditioning == generation conditioning
+    dec_in = np.concatenate(
+        [np.full((B, 1), start_id, np.int32), labels[:, :-1]], axis=1)
+    logits = np.asarray(decode_logits(jnp.asarray(dec_in)))
+    np.testing.assert_array_equal(logits.argmax(-1), labels)
+
+    # manual masked NLL matches
+    logp = jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)
+    tok_ll = np.take_along_axis(np.asarray(logp), labels[..., None],
+                                axis=-1)[..., 0]
+    m = (labels != pad_id).astype(np.float32)
+    manual = -(tok_ll * m).sum(-1) / np.maximum(m.sum(-1), 1.0)
+    np.testing.assert_allclose(losses, manual, rtol=1e-5)
