@@ -342,3 +342,30 @@ def test_feature_store_type_changing_overwrite(tmp_path):
     store.put("k", np.zeros(2))
     np.testing.assert_array_equal(store.get("k"), np.zeros(2))
     assert len(list(store.keys())) == 1
+
+
+def test_prepare_wit_real_schema_without_img_columns():
+    """The real-data path: LoadWITData produces image_id/original_data_id
+    but never img_id/img_path — those must come from the image registry
+    (PrepareImagesForWITData) or fall back to image_id/None instead of
+    KeyErroring."""
+    fx = _wit_fixture()
+    for split in ("train", "valid", "test"):
+        fx[split] = fx[split].remove_columns(["img_id", "img_path"])
+    fx_with_registry = datasets.DatasetDict(fx)
+    fx_with_registry["images"] = {
+        "imgA": {"img_id": "imgA", "img_path": "/reg/a.jpg"},
+        "imgB": {"img_id": "imgB", "img_path": "/reg/b.jpg"},
+    }
+    out = _functor(PrepareWITDataForRetrieval)(fx_with_registry)
+    train = {r["img_id"]: r for r in out["train"]}
+    assert set(train) == {"imgA", "imgB"}
+    assert train["imgA"]["img_path"] == "/reg/a.jpg"
+    assert sorted(train["imgA"]["pos_item_ids"]) == ["WIT_0", "WIT_1"]
+
+    # no registry at all: img_id falls back to image_id, img_path to None
+    fx2 = _wit_fixture()
+    for split in ("train", "valid", "test"):
+        fx2[split] = fx2[split].remove_columns(["img_id", "img_path"])
+    out2 = _functor(PrepareWITDataForRetrieval)(fx2)
+    assert {r["img_id"] for r in out2["train"]} == {"imgA", "imgB"}
