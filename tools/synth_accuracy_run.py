@@ -93,6 +93,10 @@ def main_driver():
 
     sc = SCALES[args.scale]
     sfx, static_path = sc["suffix"], sc["static"]
+    if args.quick:
+        # quick is a plumbing smoke pass: keep its 1-epoch retrieval out of
+        # the full-run static file that --skip-retriever reuses
+        static_path = static_path.replace(".json", "_quick.json")
     epochs = "1" if args.quick else ("8" if sfx else "12")
     rr_epochs = "1" if args.quick else ("3" if sfx else "4")
 
@@ -148,13 +152,14 @@ def main_driver():
         if not args.encoder_only:
             families.append((f"synth_rerank_decoder_blip2_opt{sfx}",
                              dec_epochs))
+    static_opt = f"model_config.retrieve_result_path='{static_path}'"
     for exp, ep in families:
         run(["--config", f"configs/{exp}.json", "--mode", "train",
-             "--opts", f"train.trainer_paras.max_epochs={ep}"])
+             "--opts", f"train.trainer_paras.max_epochs={ep}", static_opt])
         rr_dir = latest_version(exp)
 
         run(["--config", f"configs/{exp}.json", "--mode", "test",
-             "--opts", f"meta.experiment_dir='{rr_dir}'"])
+             "--opts", f"meta.experiment_dir='{rr_dir}'", static_opt])
         dump = json.load(open(os.path.join(rr_dir,
                                            "test_predictions_rank_0.json")))
         m = dump["metrics"]
@@ -163,7 +168,14 @@ def main_driver():
         r5, raw5 = m["recall_at_5"], m["raw_recall_at_5"]
         print(f"[synth] {exp} PRRecall@5 rerank={r5:.4f} raw={raw5:.4f} "
               f"delta={r5 - raw5:+.4f}")
-        assert r5 > raw5, f"{exp} did not beat raw retrieval order"
+        if args.quick:
+            # 1-epoch smoke: the pipeline ran end-to-end; learning margins
+            # need the full epoch budget
+            if r5 <= raw5:
+                print(f"[synth] NOTE: {exp} quick pass did not beat raw "
+                      "(expected at 1 epoch; run without --quick)")
+        else:
+            assert r5 > raw5, f"{exp} did not beat raw retrieval order"
     return 0
 
 
