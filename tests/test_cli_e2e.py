@@ -2,6 +2,7 @@
 integration test shape: real configs + limit_batches, SURVEY.md §4)."""
 
 import json
+import math
 import os
 
 import pytest
@@ -202,7 +203,7 @@ def test_rag_blip2_train_then_test(tmp_path):
     with open(os.path.join(exp_dir, "metrics.jsonl")) as f:
         rows = [json.loads(l) for l in f]
     losses = [r["loss"] for r in rows if "loss" in r]
-    assert losses and all(l == l for l in losses)  # finite, no NaN
+    assert losses and all(math.isfinite(l) for l in losses)
 
     rc = main([
         "--config", "configs/okvqa_rag_blip2.json", "--mode", "test",

@@ -38,6 +38,36 @@ def test_decoder_rerank_yes_no_scoring(batch):
     assert ((got >= 0) & (got <= 1)).all()  # p(yes) is a probability
     assert np.isfinite(float(out.loss))
 
+    # value oracle against the raw decoder logits: p(yes) must be the
+    # yes-vs-no softmax of the FIRST decoder position, and the loss the
+    # seq2seq CE on yes/no targets with the positive first in each group
+    # (reference `decoder_rerank_model.py:121-159`) — catches swapped
+    # yes/no ids, a wrong position read, or a flipped softmax column
+    from reranking_multimodal_retrievers_tpu.models.rerankers.decoder import (
+        VisionSeq2SeqLM,
+    )
+
+    nway = n_neg + 1
+    expanded = b["input_ids"].shape[0]
+    vs = VisionSeq2SeqLM(cfg)
+    pix_rep = jnp.repeat(b["pixel_values"], nway, axis=0)
+    dec_in = jnp.full((expanded, 1), cfg.decoder_start_token_id, jnp.int32)
+    logits, _ = vs.apply({"params": params["params"]["model"]},
+                         b["input_ids"], b["attention_mask"], dec_in,
+                         pixel_values=pix_rep)
+    first = np.asarray(logits[:, 0, :], np.float32)
+    yes, no = first[:, cfg.yes_token_id], first[:, cfg.no_token_id]
+    p_yes = np.exp(yes) / (np.exp(yes) + np.exp(no))
+    np.testing.assert_allclose(got[:, 0], p_yes, rtol=1e-5, atol=1e-6)
+
+    lbl = np.tile(np.eye(1, nway, 0, dtype=np.int32)[0], B)
+    target = np.where(lbl == 1, cfg.yes_token_id, cfg.no_token_id)
+    logz = np.log(np.exp(first - first.max(1, keepdims=True)).sum(1)) + \
+        first.max(1)
+    gold = first[np.arange(expanded), target]
+    np.testing.assert_allclose(float(out.loss), float(np.mean(logz - gold)),
+                               rtol=1e-5, atol=1e-6)
+
 
 def test_decoder_head_rerank(batch):
     b, B, n_neg = batch

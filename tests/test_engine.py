@@ -15,12 +15,14 @@ from reranking_multimodal_retrievers_tpu.engine import (
 from reranking_multimodal_retrievers_tpu.parallel import make_mesh
 
 
-def brute_force(Q, D, M, k):
+def brute_force(Q, D, M, k, return_totals=False):
     scores = np.einsum("bqd,nld->bnlq", Q.astype(np.float32), D.astype(np.float32))
     scores = np.where(M[None, :, :, None].astype(bool), scores, -9999.0)
     totals = scores.max(axis=2).sum(axis=-1)  # [B, N]
     idx = np.argsort(-totals, axis=1, kind="stable")[:, :k]
     vals = np.take_along_axis(totals, idx, axis=1)
+    if return_totals:
+        return vals, idx, totals
     return vals, idx
 
 
@@ -39,18 +41,30 @@ def corpus():
     return Q, D, M, ids
 
 
-def _check_topk(got_vals, got_idx, want_vals, want_idx, tol=5e-2):
-    """Scores must match; indices may differ on near-ties, so compare by
-    score sets rather than exact index order."""
+def _check_topk(got_vals, got_idx, want_vals, want_idx, totals, tol=5e-2):
+    """Scores must match at EVERY rank, and every returned index must be
+    the oracle's index at that rank unless the swap is explained by a
+    near-tie: the oracle score of the doc we returned must be within tol
+    of the oracle score at that rank (bf16 accumulation can legitimately
+    reorder docs whose fp32 scores are this close — random data makes
+    exact ties measure-zero, so a misaligned-shard-offset bug cannot
+    hide behind this allowance)."""
+    got_vals, got_idx = np.asarray(got_vals), np.asarray(got_idx)
     np.testing.assert_allclose(got_vals, want_vals, rtol=tol, atol=tol)
+    for b, r in zip(*np.nonzero(got_idx != np.asarray(want_idx))):
+        oracle_score_of_got = totals[b, got_idx[b, r]]
+        assert abs(oracle_score_of_got - want_vals[b, r]) <= tol, (
+            f"rank {r} of query {b}: returned doc {got_idx[b, r]} "
+            f"(oracle score {oracle_score_of_got:.4f}) is not a near-tie "
+            f"with oracle rank score {want_vals[b, r]:.4f}")
 
 
 def test_search_single_device(corpus):
     Q, D, M, ids = corpus
     index = TokenIndex.from_arrays(D, M, ids, mesh=None)
     vals, idx = search_exhaustive(index, jnp.asarray(Q), k=10, chunk=32)
-    want_vals, want_idx = brute_force(Q, D, M, 10)
-    _check_topk(vals, idx, want_vals, want_idx)
+    want_vals, want_idx, totals = brute_force(Q, D, M, 10, return_totals=True)
+    _check_topk(vals, idx, want_vals, want_idx, totals)
     # top-1 should agree exactly (no ties in random data)
     np.testing.assert_array_equal(idx[:, 0], want_idx[:, 0])
 
@@ -62,8 +76,8 @@ def test_search_sharded_8dev(corpus):
     index = TokenIndex.from_arrays(D, M, ids, mesh=mesh)
     assert index.num_padded_docs % 8 == 0
     vals, idx = search_exhaustive(index, jnp.asarray(Q), k=10, chunk=8)
-    want_vals, want_idx = brute_force(Q, D, M, 10)
-    _check_topk(vals, idx, want_vals, want_idx)
+    want_vals, want_idx, totals = brute_force(Q, D, M, 10, return_totals=True)
+    _check_topk(vals, idx, want_vals, want_idx, totals)
     np.testing.assert_array_equal(idx[:, 0], want_idx[:, 0])
 
 

@@ -72,6 +72,17 @@ def test_compressed_search_matches_exact(corpus):
     exact_top1 = np.argsort(-exact, axis=1)[:, 0]
     # top-1 must agree (stage-2 rescoring uses near-exact reconstructions)
     np.testing.assert_array_equal(ids[:, 0], exact_top1)
+    # deeper ranks: every returned doc's EXACT score must be close to the
+    # reported (reconstructed) score, and the top-5 must overlap the exact
+    # top-5 heavily — catches residual-scale bugs that keep rank 1 right
+    # but mis-score ranks 2..k
+    exact_top5 = np.argsort(-exact, axis=1)[:, :5]
+    for b in range(Q.shape[0]):
+        exact_of_returned = exact[b, ids[b]]
+        np.testing.assert_allclose(np.asarray(vals[b]), exact_of_returned,
+                                   rtol=0.05, atol=0.05)
+        overlap = len(set(ids[b].tolist()) & set(exact_top5[b].tolist()))
+        assert overlap >= 4, (b, ids[b], exact_top5[b])
 
 
 def test_legacy_retrievers():

@@ -64,10 +64,21 @@ def test_triples_train_loss_finite_and_params_move(tmp_path, with_scores):
     cfg = TriplesTrainerConfig(bsize=4, nway=2, maxsteps=4, warmup=1,
                                lr=1e-3, query_maxlen=8, doc_maxlen=12,
                                use_ib_negatives=not with_scores)
+    # params must actually MOVE from a 0-step baseline (catches a no-op
+    # schedule / disconnected loss / dropped optimizer update)
+    cfg0 = TriplesTrainerConfig(bsize=4, nway=2, maxsteps=0, warmup=1,
+                                lr=1e-3, query_maxlen=8, doc_maxlen=12,
+                                use_ib_negatives=not with_scores)
+    params0, _ = train(cfg0, path, q, c)
     params, ema = train(cfg, path, q, c)
     assert np.isfinite(ema)
     leaves = jax.tree_util.tree_leaves(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    leaves0 = jax.tree_util.tree_leaves(params0)
+    moved = sum(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(leaves, leaves0))
+    assert moved > 0, "4 train steps left every parameter unchanged"
 
 
 def test_triples_train_checkpoints(tmp_path):

@@ -119,12 +119,36 @@ def test_query_instruction_mask_oracle():
 
 
 def test_ib_loss_prefers_aligned_positives(tiny_setup):
-    """With D = duplicated Q text rows, the ib labels must point at each
-    query's own positive (sanity of label construction i*nway)."""
+    """The ib labels must point at each query's own positive (label
+    construction i*nway): the returned ib_loss must equal a manual
+    softmax-CE over in_batch_maxsim_scores with labels arange(B)*nway,
+    and be LOWER than the same CE under misaligned (shifted) labels."""
+    import jax.numpy as jnp
+
+    from reranking_multimodal_retrievers_tpu.ops.maxsim import (
+        in_batch_maxsim_scores,
+    )
+
     cfg, model, params, batch = tiny_setup
     out = model.apply(params, **batch, num_negative_examples=1)
-    # scores[:, 0] is the positive column by construction
     assert out.scores.shape[1] == 2
+    nway = 2
+    Q = out.query_late_interaction_output
+    D = out.context_late_interaction_output
+    Dm = out.context_mask
+    ib = np.asarray(in_batch_maxsim_scores(Q, D, Dm), np.float32)
+    B = ib.shape[0]
+    labels = np.arange(B) * nway
+    logp = ib - np.log(np.exp(ib - ib.max(1, keepdims=True)).sum(1,
+                       keepdims=True)) - ib.max(1, keepdims=True)
+    manual = -np.mean(logp[np.arange(B), labels])
+    np.testing.assert_allclose(float(out.in_batch_negative_loss), manual,
+                               rtol=1e-4, atol=1e-5)
+    # the equality above is the oracle: had the labels been anything but
+    # i*nway (e.g. i, or shifted), the CE would differ — verify the
+    # discrimination by checking a wrong labeling gives a DIFFERENT loss
+    wrong = -np.mean(logp[np.arange(B), labels + 1])
+    assert abs(manual - wrong) > 1e-6
 
 
 def test_attention_scores_bf16_close_to_fp32():

@@ -202,7 +202,9 @@ def test_retrieval_metric_helpers():
     rel = np.array([[1, 0, 0], [0, 0, 1]])
     assert recall_at_k(rel, 1) == 0.5
     assert recall_at_k(rel, 3) == 1.0
-    assert 0 < ndcg_at_k(rel, 3) <= 1
+    # hand-computed: row1 dcg=1/log2(2)=1, idcg=1 → 1;
+    # row2 dcg=1/log2(4)=0.5, idcg=1 → 0.5; mean 0.75
+    assert ndcg_at_k(rel, 3) == pytest.approx(0.75)
 
 
 # ----------------------------------------------------------- eval recorder

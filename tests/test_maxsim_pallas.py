@@ -360,12 +360,17 @@ def test_pallas_unpadded_and_bf16_variants():
 
 
 def test_search_unpadded_bf16_topk_agreement():
-    """End-to-end `_local_search` with the serving knobs on the XLA-vs-kernel
-    boundary shapes: the top-k sets must agree with the exact fp32 path."""
+    """The serving knobs (unpadded mask-skip + bf16 score storage) on the
+    ACTUAL pallas kernel (interpret mode), not just the XLA fallback: the
+    kernel's unpadded/bf16 scores must match the exact fp32 oracle within
+    bf16 tolerance, and the resulting top-k must agree."""
     import jax
 
     from reranking_multimodal_retrievers_tpu.engine.search import (
         _local_search,
+    )
+    from reranking_multimodal_retrievers_tpu.ops.maxsim_pallas import (
+        maxsim_scores_pallas,
     )
 
     rng = np.random.default_rng(4)
@@ -374,11 +379,24 @@ def test_search_unpadded_bf16_topk_agreement():
     D = jnp.asarray(rng.normal(size=(N, L_d, dim)), jnp.float32)
     M = jnp.ones((N, L_d), bool)
     exact_v, exact_i = _local_search(Q, D, M, k=k, chunk=16)
-    # unpadded knob (pallas interpret path is exercised on TPU CI only;
-    # here the XLA fallback must ignore the knob and still be correct)
+
+    # XLA fallback path with the knobs set must stay correct
     v2, i2 = _local_search(Q, D, M, k=k, chunk=16, unpadded=True,
                            score_dtype=jnp.bfloat16)
     np.testing.assert_array_equal(np.asarray(exact_i), np.asarray(i2))
+
+    # the kernel itself (interpret mode): unpadded (mask=None) + bf16
+    # score storage vs the exact fp32 oracle totals
+    oracle = np.einsum("bqd,nld->bnlq", np.asarray(Q), np.asarray(D))
+    oracle = oracle.max(axis=2).sum(axis=-1)  # [B, N]
+    kernel = np.asarray(maxsim_scores_pallas(
+        Q, D, None, B_blk=8, C_blk=8, interpret=True,
+        score_dtype=jnp.bfloat16))
+    np.testing.assert_allclose(kernel, oracle, rtol=3e-2, atol=0.5)
+    topk_kernel = np.argsort(-kernel, axis=1)[:, :k]
+    # top-1 must survive bf16 rounding; deeper ranks via score closeness
+    np.testing.assert_array_equal(topk_kernel[:, 0],
+                                  np.asarray(exact_i)[:, 0])
 
 
 def test_search_unpadded_excludes_padding_docs():
@@ -403,32 +421,44 @@ def test_search_unpadded_excludes_padding_docs():
 
 
 def test_head_pack_feasible_mirrors_kernel_search():
-    """The dispatch gate must agree with the kernel's own packing search —
-    a stricter gate silently disables the fused path for geometries the
-    kernel supports (OPT's 32 heads x head_dim 80 regressed this way)."""
+    """The dispatch gate must agree with the kernel's ACTUAL packing search
+    — drive fused_self_attention itself (interpret mode) per geometry
+    instead of comparing against a frozen copy of the algorithm. A stricter
+    gate silently disables the fused path for geometries the kernel
+    supports (OPT's 32 heads x head_dim 80 regressed this way); a looser
+    gate dispatches into the kernel's packing assert."""
+    import jax
+
     from reranking_multimodal_retrievers_tpu.ops.platform import (
         head_pack_feasible,
     )
-
-    def kernel_search_ok(num_heads, hd):
-        hpb = max(1, -(-128 // hd))
-        while (hpb * hd) % 128 != 0 or num_heads % hpb != 0:
-            hpb += 1
-            if hpb > num_heads:
-                return False
-        return True
+    from reranking_multimodal_retrievers_tpu.ops.attention_pallas import (
+        fused_self_attention, fused_self_attention_reference,
+    )
 
     cases = [
         (12, 64),   # BERT-base
-        (32, 64),   # T5-XL
         (32, 80),   # OPT-2.7b — needs the relaxed upward search
-        (16, 80),
-        (8, 80),
         (7, 80),    # no pack divides 7 with 128-lane rows -> infeasible
         (12, 26),
         (1, 128),
     ]
+    rng = np.random.default_rng(11)
+    B, L = 1, 128
     for nh, hd in cases:
-        assert head_pack_feasible(nh, hd) == kernel_search_ok(nh, hd), (nh, hd)
+        gate = head_pack_feasible(nh, hd)
+        q, k, v = (jnp.asarray(rng.normal(size=(B, L, nh * hd)) * 0.1,
+                               jnp.float32) for _ in range(3))
+        if gate:
+            out = fused_self_attention(q, k, v, num_heads=nh,
+                                       sm_scale=hd ** -0.5, interpret=True)
+            want = fused_self_attention_reference(q, k, v, num_heads=nh,
+                                                  sm_scale=hd ** -0.5)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                       rtol=2e-2, atol=2e-2)
+        else:
+            with pytest.raises(AssertionError):
+                fused_self_attention(q, k, v, num_heads=nh,
+                                     sm_scale=hd ** -0.5, interpret=True)
     assert head_pack_feasible(32, 80), "OPT geometry must be feasible"
     assert not head_pack_feasible(7, 80)

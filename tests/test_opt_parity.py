@@ -235,6 +235,25 @@ def test_opt_lora_zero_init_preserves_and_trains():
     model = OPTForCausalLM(cfg)
     params = model.init(jax.random.PRNGKey(0), ids, am)["params"]
 
+    # zero-delta at init: every lora_b is zeros, so the adapter output is
+    # INDEPENDENT of lora_a — randomizing lora_a must not change logits
+    # (this is what keeps a bridged checkpoint's outputs identical to the
+    # adapter-free HF model until training moves lora_b)
+    bs = [np.asarray(l) for path, l in
+          jax.tree_util.tree_leaves_with_path(params)
+          if "lora_b" in "/".join(str(getattr(p, "key", p)) for p in path)]
+    assert bs and all((b == 0).all() for b in bs)
+    base_logits, _ = model.apply({"params": params}, ids, am)
+    noisy = jax.tree_util.tree_map_with_path(
+        lambda path, l: (l + 1.0
+                         if "lora_a" in "/".join(
+                             str(getattr(p, "key", p)) for p in path)
+                         else l),
+        params)
+    noisy_logits, _ = model.apply({"params": noisy}, ids, am)
+    np.testing.assert_array_equal(np.asarray(base_logits),
+                                  np.asarray(noisy_logits))
+
     def loss(p):
         logits, _ = model.apply({"params": p}, ids, am)
         return jnp.mean(logits ** 2)
