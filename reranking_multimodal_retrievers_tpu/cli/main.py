@@ -46,11 +46,34 @@ def build_config(args):
     return config
 
 
+def _apply_platform_env():
+    """Honor ``RMRT_PLATFORM`` (e.g. ``cpu``) by re-asserting it through
+    ``jax.config`` before any device is created. A dedicated variable rather
+    than ``JAX_PLATFORMS`` because on builds where a plugin's registration
+    wins over the env var (the TPU tunnel image exports an ambient
+    ``JAX_PLATFORMS`` that cannot be overridden by env alone),
+    ``jax.config.update`` is the only reliable switch — and reading the
+    ambient variable here would clobber an in-process choice such as the
+    test suite's CPU mesh."""
+    import os
+
+    plat = os.environ.get("RMRT_PLATFORM")
+    if not plat:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", plat)
+    except Exception:  # already initialized — leave whatever platform is live
+        pass
+
+
 def main(argv=None):
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
+    _apply_platform_env()
     args = parse_sys_args(argv)
     config = build_config(args)
 

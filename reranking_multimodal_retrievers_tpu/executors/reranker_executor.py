@@ -233,11 +233,37 @@ class RerankerExecutor(BaseExecutor):
             rb = dict(
                 query_input_ids=jnp.ones((1, 8), jnp.int32),
                 query_attention_mask=jnp.ones((1, 8), jnp.int32),
-                query_pixel_values=jnp.zeros((1, 3, img, img), jnp.float32),
+                query_pixel_values=(
+                    jnp.zeros((1, 3, img, img), jnp.float32)
+                    if self.retriever_config.use_vision_encoder else None
+                ),
                 context_input_ids=jnp.ones((2, 8), jnp.int32),
                 context_attention_mask=jnp.ones((2, 8), jnp.int32),
             )
             self._retriever_params = self.retriever.init(key, **rb)["params"]
+            rpath = self.config.get_path("model_config.retriever_model_path", None)
+            if rpath:
+                # the reference loads a PRETRAINED frozen retriever
+                # (`Reranker_base_executor.py:210-241`, ModelVersion =
+                # "LinWeizheDragon/PreFLMR_ViT-B"); here the equivalent is a
+                # trained FLMRExecutor orbax checkpoint ({"params": <FLMR
+                # tree>}). Restoring into the freshly-initialized tree keeps
+                # the structure check: a mismatched retriever config fails
+                # loudly instead of silently scoring with random weights.
+                from ..training.checkpointing import CheckpointManager
+
+                restored = CheckpointManager.restore(rpath)
+                rparams = restored.get("params", restored)
+                import jax as _jax
+
+                got = _jax.tree_util.tree_structure(rparams)
+                want = _jax.tree_util.tree_structure(self._retriever_params)
+                if got != want:
+                    raise ValueError(
+                        f"retriever_model_path {rpath}: checkpoint param tree "
+                        "does not match model_config.flmr (frozen retriever)")
+                self._retriever_params = rparams
+                logger.info("loaded frozen retriever from %s", rpath)
         return params
 
     def _example_inputs(self, batch_size: int, nway: int):
@@ -272,7 +298,10 @@ class RerankerExecutor(BaseExecutor):
             return dict(
                 query_input_ids=jnp.ones((batch_size, qlen), jnp.int32),
                 query_attention_mask=jnp.ones((batch_size, qlen), jnp.int32),
-                query_pixel_values=jnp.zeros((batch_size, 3, img, img), jnp.float32),
+                query_pixel_values=(
+                    None if "text_only" in self.modules
+                    else jnp.zeros((batch_size, 3, img, img), jnp.float32)
+                ),
                 context_input_ids=jnp.ones((batch_size * nway, dlen), jnp.int32),
                 context_attention_mask=jnp.ones((batch_size * nway, dlen), jnp.int32),
             )
@@ -447,7 +476,11 @@ class RerankerExecutor(BaseExecutor):
             model_batch = dict(
                 query_input_ids=jnp.asarray(batch["input_ids"]),
                 query_attention_mask=jnp.asarray(batch["attention_mask"]),
-                query_pixel_values=jnp.asarray(batch["pixel_values"]),
+                query_pixel_values=(
+                    None
+                    if "text_only" in self.modules or "pixel_values" not in batch
+                    else jnp.asarray(batch["pixel_values"])
+                ),
                 context_input_ids=jnp.asarray(enc_d["input_ids"]),
                 context_attention_mask=jnp.asarray(enc_d["attention_mask"]),
             )
@@ -522,8 +555,14 @@ class RerankerExecutor(BaseExecutor):
             {"params": self._retriever_params},
             query_input_ids=jnp.asarray(batch["input_ids"]),
             query_attention_mask=jnp.asarray(batch["attention_mask"]),
+            # text_only suppresses vision end-to-end: the frozen retriever's
+            # token-score matrix must carry the same query rows as the
+            # text-only reranker it biases
             query_pixel_values=(
-                jnp.asarray(batch["pixel_values"]) if "pixel_values" in batch else None
+                jnp.asarray(batch["pixel_values"])
+                if "pixel_values" in batch
+                and "text_only" not in self.modules
+                and self.retriever_config.use_vision_encoder else None
             ),
             context_input_ids=ctx_ids,
             context_attention_mask=ctx_mask,
@@ -547,7 +586,12 @@ class RerankerExecutor(BaseExecutor):
             {"params": self._retriever_params},
             jnp.asarray(batch["input_ids"]),
             jnp.asarray(batch["attention_mask"]),
-            pixel_values=(jnp.asarray(batch["pixel_values"]) if "pixel_values" in batch else None),
+            pixel_values=(
+                jnp.asarray(batch["pixel_values"])
+                if "pixel_values" in batch
+                and "text_only" not in self.modules
+                and self.retriever_config.use_vision_encoder else None
+            ),
             method=type(self.retriever).query,
         )
         dout = self.retriever.apply(

@@ -237,7 +237,14 @@ class RerankModel(_RerankBase):
 
         q_ids = jnp.repeat(query_input_ids, nway, axis=0)
         q_mask = jnp.repeat(query_attention_mask, nway, axis=0)
-        pix = jnp.repeat(query_pixel_values, nway, axis=0)
+        # text-only mode (no vision rows): the reference's RerankModel always
+        # feeds pixels, but its text_only module zeroes the vision branch
+        # (`rerank_model.py:352-358`); skipping the ViT entirely is the
+        # TPU-first equivalent
+        pix = (
+            None if query_pixel_values is None
+            else jnp.repeat(query_pixel_values, nway, axis=0)
+        )
 
         Lq = q_ids.shape[1]
         Lc = context_input_ids.shape[1]

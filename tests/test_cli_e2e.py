@@ -108,6 +108,42 @@ def test_spliced_fusion_reranker_train_then_test(tmp_path):
     assert dump["predictions"][0]["top_ranking_passages"]
 
 
+def test_spliced_fusion_text_only_train_then_test(tmp_path):
+    """text_only × spliced RerankModel × fusion: no pixel tensors anywhere —
+    the ViT is skipped entirely (the reference's text_only module instead
+    zeroes the vision branch, `rerank_model.py:352-358`). This is the
+    configuration the synthetic-task fusion demo runs
+    (`configs/synth_rerank_fusion.json`)."""
+    cfg = json.load(open("configs/okvqa_rerank_fusion.json"))
+    cfg["model_config"]["modules"] = list(
+        set(cfg["model_config"]["modules"]) | {"text_only"}
+    )
+    cfg_path = str(tmp_path / "fusion_text_only.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    rc = main([
+        "--config", cfg_path, "--mode", "train",
+        "--use_dummy_data",
+        "--opts", *(_opts(tmp_path, "fut")),
+        "train.trainer_paras.max_epochs=1",
+        "train.trainer_paras.limit_train_batches=2",
+    ])
+    assert rc == 0
+    exp_dir = str(tmp_path / "experiments" / "okvqa_rerank_fusion" / "version_0")
+    rc = main([
+        "--config", cfg_path, "--mode", "test",
+        "--use_dummy_data",
+        "--opts", *(_opts(tmp_path, "fut")),
+        f"meta.experiment_dir='{exp_dir}'",
+        "test.trainer_paras.limit_test_batches=1",
+    ])
+    assert rc == 0
+    with open(os.path.join(exp_dir, "test_predictions_rank_0.json")) as f:
+        dump = json.load(f)
+    assert "recall_at_5" in dump["metrics"]
+    assert dump["predictions"][0]["top_ranking_passages"]
+
+
 def test_blip2_decoder_reranker_train_then_test(tmp_path):
     """The real-backbone (BLIP-2/Flan-T5 + LoRA) decoder reranker e2e
     (reference `decoder_rerank_model.py:81-159`)."""

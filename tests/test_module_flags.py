@@ -107,3 +107,60 @@ def test_fusion_with_mores_constructs(tmp_path):
     )
     ex = RerankerExecutor(cfg2, use_dummy_data=True)
     assert ex.reranker_family == "interaction"
+
+
+def test_retriever_model_path_loads_frozen_retriever(tmp_path):
+    """The reference's interaction/fusion rerankers score against a
+    PRETRAINED frozen PreFLMR retriever (`Reranker_base_executor.py:210-241`);
+    `model_config.retriever_model_path` is the equivalent here — an orbax
+    checkpoint from FLMRExecutor restored into the frozen retriever, with a
+    loud failure on a config/checkpoint tree mismatch."""
+    import json
+
+    import jax
+    import numpy as np
+
+    import reranking_multimodal_retrievers_tpu.data.ops  # noqa: F401 (registry)
+    from reranking_multimodal_retrievers_tpu.executors.reranker_executor import (
+        RerankerExecutor,
+    )
+    from reranking_multimodal_retrievers_tpu.training.checkpointing import (
+        CheckpointManager,
+    )
+    from reranking_multimodal_retrievers_tpu.utils.config_system import (
+        ConfigDict,
+    )
+
+    def make_cfg(sub):
+        cfg = ConfigDict(json.load(open("configs/okvqa_rerank_interaction.json")))
+        cfg.data_pipeline["cache_dir"] = str(tmp_path / sub / "cache")
+        cfg.meta["experiment_dir"] = str(tmp_path / sub / "exp")
+        return cfg
+
+    ex0 = RerankerExecutor(make_cfg("a"), use_dummy_data=True)
+    assert ex0._retriever_params is not None
+
+    # a "trained" retriever: every leaf shifted by a recognizable constant
+    trained = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) + 0.125, ex0._retriever_params
+    )
+    cm = CheckpointManager(str(tmp_path / "ckpt"))
+    path = cm.save({"params": trained}, step=7)
+
+    cfg = make_cfg("b")
+    cfg.model_config["retriever_model_path"] = path
+    ex1 = RerankerExecutor(cfg, use_dummy_data=True)
+    got = jax.tree_util.tree_leaves(ex1._retriever_params)
+    want = jax.tree_util.tree_leaves(trained)
+    assert all(np.allclose(g, w) for g, w in zip(got, want))
+
+    # a checkpoint whose tree does not match the configured retriever fails
+    # loudly instead of silently scoring with random weights
+    bad = cm.save({"params": {"bogus": np.zeros((3,), np.float32)}},
+                  step=8, name="bad")
+    cfg2 = make_cfg("c")
+    cfg2.model_config["retriever_model_path"] = bad
+    import pytest
+
+    with pytest.raises(ValueError, match="retriever_model_path"):
+        RerankerExecutor(cfg2, use_dummy_data=True)

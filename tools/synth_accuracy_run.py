@@ -143,9 +143,13 @@ def main_driver():
     # (`plots.ipynb` cell 16, R@5 0.40) — demonstrating its learning
     # dynamics too, not just the encoder family's.
     dec_epochs = "1" if args.quick else ("6" if sfx else "4")
+
+    def is_encoder(name: str) -> bool:
+        return "full_context" in name or "interaction" in name
+
     if args.families:
         families = [(f"{name}{sfx}",
-                     rr_epochs if "full_context" in name else dec_epochs)
+                     rr_epochs if is_encoder(name) else dec_epochs)
                     for name in args.families.split(",") if name]
     else:
         families = [(f"synth_rerank_full_context{sfx}", rr_epochs)]
@@ -154,12 +158,26 @@ def main_driver():
                              dec_epochs))
     static_opt = f"model_config.retrieve_result_path='{static_path}'"
     for exp, ep in families:
+        extra = []
+        if "interaction" in exp or "fusion" in exp:
+            # these families score against a FROZEN retriever; point it at
+            # the stage-1 trained synth FLMR checkpoint (the reference loads
+            # pretrained PreFLMR, `Reranker_base_executor.py:210-241`)
+            from reranking_multimodal_retrievers_tpu.training.checkpointing import (
+                CheckpointManager,
+            )
+
+            flmr_dir = latest_version(f"synth_flmr{sfx}")
+            rck = CheckpointManager(os.path.join(flmr_dir, "ckpts")).resolve()
+            assert rck, f"no retriever checkpoint under {flmr_dir}/ckpts"
+            extra = [f"model_config.retriever_model_path='{rck}'"]
         run(["--config", f"configs/{exp}.json", "--mode", "train",
-             "--opts", f"train.trainer_paras.max_epochs={ep}", static_opt])
+             "--opts", f"train.trainer_paras.max_epochs={ep}", static_opt,
+             *extra])
         rr_dir = latest_version(exp)
 
         run(["--config", f"configs/{exp}.json", "--mode", "test",
-             "--opts", f"meta.experiment_dir='{rr_dir}'", static_opt])
+             "--opts", f"meta.experiment_dir='{rr_dir}'", static_opt, *extra])
         dump = json.load(open(os.path.join(rr_dir,
                                            "test_predictions_rank_0.json")))
         m = dump["metrics"]
@@ -172,7 +190,7 @@ def main_driver():
         # note: at default scale the 2-layer causal LM memorizes train keys
         # — the committed default-scale decoder artifact shows the same);
         # assert the margin only where learning is expected
-        decisive = not args.quick and ("full_context" in exp or sfx)
+        decisive = not args.quick and (is_encoder(exp) or sfx)
         if decisive:
             assert r5 > raw5, f"{exp} did not beat raw retrieval order"
         elif r5 <= raw5:
