@@ -416,9 +416,21 @@ class RerankerExecutor(BaseExecutor):
         if not retrieved:
             retrieved = list(self.id2doc.keys())[: self.docs_to_rerank]
         if "neg_sample_retrieved" in self.modules or "train_with_retrieved_docs" not in self.modules:
-            # 1 positive + N negatives (negatives from retrieved, minus pos)
-            pos = pos_ids[0] if pos_ids else retrieved[0]
+            # 1 positive + N negatives, both RANDOMLY sampled from the
+            # retrieved list (reference `negative_sample_model_inputs`,
+            # `Reranker_base_executor.py:486-531`: `local_random.sample`).
+            # Sampling matters: with a deterministic top-N slice the model
+            # only ever sees the same num_negative_samples docs per query and
+            # the remaining retrieved candidates are out-of-distribution at
+            # eval time — rerank then *degrades* the raw order.
             pos_set = set(pos_ids)
+            retrieved_pos = [p for p in retrieved if p in pos_set]
+            if retrieved_pos:
+                pos = self._rng.choice(retrieved_pos)
+            elif pos_ids:
+                pos = self._rng.choice(pos_ids)
+            else:
+                pos = retrieved[0]
             negs = [p for p in retrieved if p not in pos_set]
             if len(negs) < self.num_negative_samples:
                 # top up from the corpus, stopping once we have enough —
@@ -428,6 +440,8 @@ class RerankerExecutor(BaseExecutor):
                         break
                     if p not in pos_set:
                         negs.append(p)
+            elif len(negs) > self.num_negative_samples:
+                negs = self._rng.sample(negs, self.num_negative_samples)
             selected = [pos] + negs[: self.num_negative_samples]
             labels = [1] + [0] * self.num_negative_samples
         else:

@@ -109,6 +109,45 @@ def test_fusion_with_mores_constructs(tmp_path):
     assert ex.reranker_family == "interaction"
 
 
+def test_neg_sample_retrieved_actually_samples(tmp_path):
+    """`neg_sample_retrieved` must SAMPLE negatives from the retrieved list
+    (reference `Reranker_base_executor.py:486-531` uses
+    ``local_random.sample``), not slice the top-N deterministically — a
+    model trained on a frozen 5-doc subset treats the other 95 eval
+    candidates as out-of-distribution and reranks worse than raw."""
+    import json
+
+    import reranking_multimodal_retrievers_tpu.data.ops  # noqa: F401 (registry)
+    from reranking_multimodal_retrievers_tpu.executors.reranker_executor import (
+        RerankerExecutor,
+    )
+    from reranking_multimodal_retrievers_tpu.utils.config_system import (
+        ConfigDict,
+    )
+
+    cfg = ConfigDict(json.load(open("configs/okvqa_rerank_full_context.json")))
+    cfg.data_pipeline["cache_dir"] = str(tmp_path / "cache")
+    cfg.meta["experiment_dir"] = str(tmp_path / "exp")
+    assert "neg_sample_retrieved" in cfg.model_config["modules"]
+    ex = RerankerExecutor(cfg, use_dummy_data=True)
+
+    docs = [{"passage_id": f"d{i}", "content": f"doc {i}", "score": -i}
+            for i in range(ex.docs_to_rerank)]
+    ex.questionId2topPassages["q_samp"] = docs
+    ex.id2doc.update({d["passage_id"]: d["content"] for d in docs})
+
+    seen_negs = set()
+    for _ in range(40):
+        sel, lab = ex._select_training_docs("q_samp", ["d3"])
+        assert sel[0] == "d3" and lab[0] == 1  # positive first, labeled 1
+        assert all(l == 0 for l in lab[1:])
+        assert "d3" not in sel[1:]
+        seen_negs.update(sel[1:])
+    # over 40 draws the union of sampled negatives must go far beyond a
+    # deterministic top-N slice
+    assert len(seen_negs) > ex.num_negative_samples * 3, seen_negs
+
+
 def test_retriever_model_path_loads_frozen_retriever(tmp_path):
     """The reference's interaction/fusion rerankers score against a
     PRETRAINED frozen PreFLMR retriever (`Reranker_base_executor.py:210-241`);

@@ -143,13 +143,22 @@ def main_driver():
     # (`plots.ipynb` cell 16, R@5 0.40) — demonstrating its learning
     # dynamics too, not just the encoder family's.
     dec_epochs = "1" if args.quick else ("6" if sfx else "4")
+    # the interaction family trains a from-scratch cross-attention stack over
+    # FROZEN 64-d late-interaction features — no token identities to latch
+    # onto — so it needs several times the epochs of the families that train
+    # a text encoder end-to-end (its config also carries a hotter lr)
+    int_epochs = "1" if args.quick else ("8" if sfx else "16")
 
     def is_encoder(name: str) -> bool:
         return "full_context" in name or "interaction" in name
 
+    def epochs_for(name: str) -> str:
+        if "interaction" in name:
+            return int_epochs
+        return rr_epochs if is_encoder(name) else dec_epochs
+
     if args.families:
-        families = [(f"{name}{sfx}",
-                     rr_epochs if is_encoder(name) else dec_epochs)
+        families = [(f"{name}{sfx}", epochs_for(name))
                     for name in args.families.split(",") if name]
     else:
         families = [(f"synth_rerank_full_context{sfx}", rr_epochs)]
