@@ -19,6 +19,7 @@ Also exports the tokenizer-derived static sets the pure model needs:
 
 from __future__ import annotations
 
+import logging
 import os
 import string
 from typing import List, Optional, Union
@@ -51,6 +52,17 @@ class FLMRContextTokenizer:
         if isinstance(text, str):
             text = [text]
         text = [". " + x for x in text]
+        if max_length is not None and max_length > self.doc_maxlen:
+            # honoring the caller's larger budget silently would desync the
+            # static shapes this tokenizer was configured for; capping it
+            # silently hides real signal loss (a reranker configured for a
+            # 64-token doc budget over a 24-token tokenizer sees nothing past
+            # token 24) — so cap, but loudly
+            logging.getLogger(__name__).warning(
+                "requested max_length=%d exceeds this tokenizer's doc_maxlen"
+                "=%d; capping — configure the tokenizer's doc_maxlen if the "
+                "longer budget is intended", max_length, self.doc_maxlen,
+            )
         max_length = min(max_length or self.doc_maxlen, self.doc_maxlen)
         enc = self.tok(
             text,

@@ -44,9 +44,22 @@ def test_context_tokenizer_marker_and_truncation(base_tok):
     ids = out["input_ids"]
     assert ids.shape == (1 + 1, 10)
     assert (ids[:, 1] == base_tok.convert_tokens_to_ids("[unused1]")).all()  # [D]
-    # request longer than doc_maxlen is clamped (reference `:132-134`)
-    out2 = ct(["paris"], max_length=512)
+    # request longer than doc_maxlen is clamped (reference `:132-134`) —
+    # loudly, since a silent cap hides real signal loss (a reranker doc
+    # budget larger than the tokenizer's truncates the docs it scores)
+    import logging
+
+    logger = "reranking_multimodal_retrievers_tpu.models.tokenization"
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    logging.getLogger(logger).addHandler(handler)
+    try:
+        out2 = ct(["paris"], max_length=512)
+    finally:
+        logging.getLogger(logger).removeHandler(handler)
     assert out2["input_ids"].shape[1] == 10
+    assert any("doc_maxlen" in r.getMessage() for r in records), records
 
 
 def test_punctuation_skiplist(base_tok):
