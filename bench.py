@@ -344,7 +344,16 @@ def bench_blip2_decoder():
     return K / best
 
 
-def bench_blip2_opt():
+def bench_blip2_opt_int8():
+    """monoBLIP2-Opt through the W8A8 int8-MXU serving path
+    (`ops/quant.py`, `OPTConfig.quantize_int8`). The bf16 run below measures
+    ~87% of the chip's bf16 peak — compute-bound — so the v5e's double-rate
+    s8xs8->s32 MXU path is the remaining lever. Rank-faithfulness of the
+    quantized scoring pass is pinned by tests/test_quant.py."""
+    return bench_blip2_opt(quantize_int8=True)
+
+
+def bench_blip2_opt(quantize_int8: bool = False):
     """monoBLIP2-Opt (decoder-only reranker) throughput — the reference's
     BEST reranker (OK-VQA R@5 0.40) and its slowest: 12.64 s/query for 100
     docs on A100 (BASELINE.md; backbone Salesforce/blip2-opt-2.7b,
@@ -383,7 +392,8 @@ def bench_blip2_opt():
     # causal Pallas attention: scores stay in VMEM, the mask is synthesized
     # in-register (ops/attention_pallas.py `causal=True`)
     opt_cfg = OPTConfig.opt_2_7b(
-        use_pallas_attention=os.environ.get("BENCH_PALLAS_ATTN", "1") == "1")
+        use_pallas_attention=os.environ.get("BENCH_PALLAS_ATTN", "1") == "1",
+        quantize_int8=quantize_int8)
     cfg = Blip2RerankConfig(
         blip2=Blip2Config(
             vision_config=Blip2VisionConfig(),
@@ -569,6 +579,8 @@ def main():
              bench_blip2_decoder, 100 / 9.52, 1800),
             ("monoBLIP2_Opt2.7b_rerank_candidates_per_sec",
              bench_blip2_opt, 100 / 12.64, 2400),
+            ("monoBLIP2_Opt2.7b_int8_rerank_candidates_per_sec",
+             bench_blip2_opt_int8, 100 / 12.64, 3000),
         ):
             if time.perf_counter() - t_start > budget_s:
                 print(f"{name} skipped: bench time budget", file=sys.stderr)
@@ -582,7 +594,8 @@ def main():
                     line["unit"] = ("queries/s/chip (exact top-100 MaxSim, "
                                     "100k docs x 256 tokens, bf16 HBM index)")
                 else:
-                    line["unit"] = "candidates/s/chip (full model scale, bf16)"
+                    prec = "int8 W8A8" if "int8" in name else "bf16"
+                    line["unit"] = f"candidates/s/chip (full model scale, {prec})"
                     line["vs_baseline"] = round(val / a100, 2)
                 print(json.dumps(line), file=sys.stderr, flush=True)
             except Exception as e:  # secondary must never sink the headline

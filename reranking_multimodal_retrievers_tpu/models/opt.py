@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.platform import head_pack_feasible, is_tpu_backend
+from ..ops.quant import Int8Dense, int8_dot
 from .bert import ATTN_MASK_BIAS
 from .lora import LoRADense
 
@@ -63,6 +64,18 @@ class OPTConfig:
     # causal mask synthesized in-register (ops/attention_pallas.py) — the
     # [B, heads, L, L] score tensors never touch HBM. Inference knob.
     use_pallas_attention: bool = False
+    # run every projection/FFN/lm-head matmul W8A8 on the MXU's double-rate
+    # int8 path (ops/quant.py) — serving knob for the compute-roofline-bound
+    # monoBLIP2-Opt reranker; the parameter tree is unchanged (int8 is an
+    # execution mode, not a storage format). Requires lora_r == 0 (merge
+    # adapters first).
+    quantize_int8: bool = False
+
+    def __post_init__(self):
+        if self.quantize_int8 and self.lora_r:
+            raise ValueError(
+                "quantize_int8 requires lora_r == 0 — merge the LoRA "
+                "adapters into the base weights before quantized serving")
 
     @property
     def embed_dim(self) -> int:
@@ -106,14 +119,16 @@ class OPTAttention(nn.Module):
         cfg = self.config
         B, L, H = x.shape
         nh, hd = cfg.num_attention_heads, cfg.head_dim
+        dense = Int8Dense if cfg.quantize_int8 else nn.Dense
+
         def qv_dense(name):
             if cfg.lora_r:
                 return LoRADense(H, r=cfg.lora_r, alpha=cfg.lora_alpha,
                                  name=name)
-            return nn.Dense(H, name=name)
+            return dense(H, name=name)
 
         q = qv_dense("q_proj")(x)
-        k = nn.Dense(H, name="k_proj")(x)
+        k = dense(H, name="k_proj")(x)
         v = qv_dense("v_proj")(x)
         if (cfg.use_pallas_attention and key_mask is not None
                 and L % 8 == 0 and head_pack_feasible(nh, hd)
@@ -128,7 +143,7 @@ class OPTAttention(nn.Module):
                 q, k, v, mask_bias=key_bias, causal=True,
                 num_heads=nh, sm_scale=hd ** -0.5,
             )
-            return nn.Dense(H, name="out_proj")(ctx)
+            return dense(H, name="out_proj")(ctx)
         q = (q * (hd ** -0.5)).reshape(B, L, nh, hd)
         k = k.reshape(B, L, nh, hd)
         v = v.reshape(B, L, nh, hd)
@@ -138,7 +153,7 @@ class OPTAttention(nn.Module):
         probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
-        return nn.Dense(H, name="out_proj")(ctx.reshape(B, L, H))
+        return dense(H, name="out_proj")(ctx.reshape(B, L, H))
 
 
 class OPTDecoderLayer(nn.Module):
@@ -161,9 +176,10 @@ class OPTDecoderLayer(nn.Module):
         h = (nn.LayerNorm(epsilon=cfg.layer_norm_eps,
                           name="final_layer_norm")(x)
              if cfg.do_layer_norm_before else x)
-        h = nn.Dense(cfg.ffn_dim, name="fc1")(h)
+        dense = Int8Dense if cfg.quantize_int8 else nn.Dense
+        h = dense(cfg.ffn_dim, name="fc1")(h)
         h = nn.relu(h)
-        h = nn.Dense(cfg.hidden_size, name="fc2")(h)
+        h = dense(cfg.hidden_size, name="fc2")(h)
         x = residual + h
         if not cfg.do_layer_norm_before:
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
@@ -241,6 +257,11 @@ class OPTForCausalLM(nn.Module):
     def lm_logits(self, hidden):
         """Tied head: hidden @ embedding.T (HF ``lm_head`` weight-tying)."""
         emb = self.embed_tokens.embedding
+        if self.config.quantize_int8:
+            # per-vocab-row weight scales (each vocab row is an output
+            # channel of the tied head) + dynamic per-token activation
+            # scales — the [*, d] @ [d, V] matmul rides the int8 MXU path
+            return int8_dot(hidden, emb.T)
         return jnp.einsum("bld,vd->blv", hidden, emb.astype(hidden.dtype),
                           preferred_element_type=jnp.float32)
 

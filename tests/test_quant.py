@@ -1,0 +1,103 @@
+"""Int8 quantized-serving path (ops/quant.py + OPTConfig.quantize_int8).
+
+The W8A8 execution mode exists to push the compute-roofline-bound
+monoBLIP2-Opt reranker past the 10x bar on the v5e's double-rate int8 MXU
+(reference latency baseline: `plots.ipynb` cells 15-16, 12.64 s/query).
+These tests pin (a) the quantizer's numerics against fp32 oracles, (b) the
+drop-in checkpoint compatibility with ``nn.Dense``, and (c) end-to-end
+rank-faithfulness of the quantized OPT scoring pass.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import flax.linen as nn
+
+from reranking_multimodal_retrievers_tpu.ops.quant import (
+    Int8Dense, int8_dot, quantize_cols, quantize_rows,
+)
+from reranking_multimodal_retrievers_tpu.models.opt import (
+    OPTConfig, OPTForCausalLM,
+)
+
+
+def test_quantize_rows_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(5, 64)) * rng.lognormal(size=(5, 1)),
+                    jnp.float32)
+    q, s = quantize_rows(x)
+    assert q.dtype == jnp.int8 and s.shape == (5, 1)
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s) - np.asarray(x))
+    # symmetric int8: per-row error bounded by half a quantization step
+    assert (err <= np.asarray(s) * 0.5 + 1e-7).all()
+
+
+def test_quantize_cols_roundtrip():
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.normal(size=(32, 16)) * rng.lognormal(size=(1, 16)),
+                    jnp.float32)
+    q, s = quantize_cols(w)
+    assert q.dtype == jnp.int8 and s.shape == (1, 16)
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s) - np.asarray(w))
+    assert (err <= np.asarray(s) * 0.5 + 1e-7).all()
+
+
+def test_int8_dot_matches_fp32_oracle():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(4, 7, 96)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(96, 48)), jnp.float32)
+    got = np.asarray(int8_dot(x, w))
+    want = np.asarray(x).reshape(-1, 96) @ np.asarray(w)
+    want = want.reshape(4, 7, 48)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert got.shape == (4, 7, 48) and got.dtype == np.float32
+    assert rel < 0.02, rel  # W8A8 per-row/per-col on gaussian data: ~1%
+
+
+def test_int8dense_restores_dense_checkpoint():
+    """Same param tree (names/shapes): a Dense checkpoint IS an Int8Dense
+    checkpoint — int8 is an execution mode, not a storage format."""
+    x = jnp.ones((2, 8), jnp.float32)
+    p_f = nn.Dense(4).init(jax.random.PRNGKey(0), x)
+    p_q = Int8Dense(4).init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p_f) == jax.tree_util.tree_structure(p_q)
+    for a, b in zip(jax.tree_util.tree_leaves(p_f),
+                    jax.tree_util.tree_leaves(p_q)):
+        assert a.shape == b.shape
+    # and the quantized apply over the float params tracks the float output
+    y_f = nn.Dense(4).apply(p_f, x)
+    y_q = Int8Dense(4).apply(p_f, x)
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_f),
+                               rtol=0.05, atol=0.02)
+
+
+def test_quantize_int8_rejects_lora():
+    with pytest.raises(ValueError, match="lora_r"):
+        OPTConfig.tiny(lora_r=8, quantize_int8=True)
+
+
+def test_opt_quantized_scoring_is_rank_faithful():
+    """The SAME params applied through the bf16 and W8A8 paths produce
+    closely matching yes/no scores and an identical candidate ranking —
+    the end-to-end property quantized serving must preserve."""
+    cfg_f = OPTConfig.tiny(hidden_size=32, num_attention_heads=4, ffn_dim=64)
+    cfg_q = OPTConfig.tiny(hidden_size=32, num_attention_heads=4, ffn_dim=64,
+                           quantize_int8=True)
+    rng = np.random.default_rng(3)
+    K, L = 8, 12
+    ids = jnp.asarray(rng.integers(2, 64, size=(K, L)), jnp.int32)
+    am = jnp.ones((K, L), jnp.int32)
+    params = OPTForCausalLM(cfg_f).init(jax.random.PRNGKey(0), ids, am)
+
+    def yes_scores(cfg):
+        logits, _ = OPTForCausalLM(cfg).apply(params, ids, am)
+        last = logits[:, -1, :].astype(jnp.float32)
+        yes, no = last[:, 10], last[:, 11]
+        return np.asarray(
+            jax.nn.softmax(jnp.stack([yes, no], -1), -1)[:, 0])
+
+    s_f, s_q = yes_scores(cfg_f), yes_scores(cfg_q)
+    # identical ranking over the K candidates
+    assert (np.argsort(-s_f) == np.argsort(-s_q)).all(), (s_f, s_q)
+    np.testing.assert_allclose(s_q, s_f, rtol=0.1, atol=0.02)
