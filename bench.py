@@ -32,7 +32,15 @@ import numpy as np
 A100_BASELINE_CAND_PER_SEC = 100 / 1.40  # monoPreFLMR-B, BASELINE.md
 
 
-def bench_rerank():
+def bench_rerank_int8():
+    """monoPreFLMR-B through the W8A8 int8-MXU serving path
+    (`ops/quant.py`, `BertConfig.quantize_int8`) — the same headline program
+    with every BERT projection/FFN matmul on the double-rate s8xs8->s32 MXU
+    path. Rank-faithfulness pinned by tests/test_quant.py."""
+    return bench_rerank(quantize_int8=True)
+
+
+def bench_rerank(quantize_int8: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -67,7 +75,8 @@ def bench_rerank():
     # shapes (no transposes, scores live in VMEM) — ops/attention_pallas.py
     pallas_attn = os.environ.get("BENCH_PALLAS_ATTN", "1") == "1"
     bert_kw = dict(use_flash_attention=flash, attention_scores_bf16=scores_bf16,
-                   gelu_approximate=gelu_tanh, use_pallas_attention=pallas_attn)
+                   gelu_approximate=gelu_tanh, use_pallas_attention=pallas_attn,
+                   quantize_int8=quantize_int8)
     flmr = FLMRConfig(
         text_config=BertConfig(**bert_kw),  # BERT-base
         vision_config=CLIPVisionConfig(),  # ViT-B/32
@@ -213,7 +222,16 @@ def bench_interaction():
     return B * K / dt
 
 
-def bench_blip2_decoder():
+def bench_blip2_decoder_int8():
+    """monoBLIP-2 Flan-T5 through the W8A8 int8-MXU serving path
+    (`ops/quant.py`, `T5Config.quantize_int8`) — same program as the bf16
+    run below on the v5e's double-rate s8xs8->s32 MXU path.
+    Rank-faithfulness is pinned by tests/test_quant.py and the trained
+    synth-checkpoint artifacts."""
+    return bench_blip2_decoder(quantize_int8=True)
+
+
+def bench_blip2_decoder(quantize_int8: bool = False):
     """monoBLIP-2 Flan-T5 (decoder reranker) throughput — the reference's
     slowest but best reranker: 9.52 s/query for 100 docs on A100 (BASELINE.md;
     `src/models/rerank/decoder_rerank_model.py:81-159`, backbone
@@ -251,7 +269,8 @@ def bench_blip2_decoder():
                      use_pallas_attention=os.environ.get(
                          "BENCH_PALLAS_ATTN", "1") == "1",
                      position_bias_bf16=os.environ.get(
-                         "BENCH_POSBIAS_BF16", "1") == "1")
+                         "BENCH_POSBIAS_BF16", "1") == "1",
+                     quantize_int8=quantize_int8)
     cfg = Blip2RerankConfig(
         blip2=Blip2Config(
             vision_config=Blip2VisionConfig(),
@@ -581,6 +600,10 @@ def main():
              bench_blip2_opt, 100 / 12.64, 2400),
             ("monoBLIP2_Opt2.7b_int8_rerank_candidates_per_sec",
              bench_blip2_opt_int8, 100 / 12.64, 3000),
+            ("monoBLIP2_FlanT5XL_int8_rerank_candidates_per_sec",
+             bench_blip2_decoder_int8, 100 / 9.52, 3600),
+            ("monoPreFLMR_B_int8_rerank_candidates_per_sec",
+             bench_rerank_int8, A100_BASELINE_CAND_PER_SEC, 4200),
         ):
             if time.perf_counter() - t_start > budget_s:
                 print(f"{name} skipped: bench time budget", file=sys.stderr)

@@ -62,6 +62,11 @@ class BertConfig:
     # activation is pure VPU time; the approximation trades ~1e-3 activation
     # error for it. Inference-serving knob; keep False for training/parity.
     gelu_approximate: bool = False
+    # run every `_dense` matmul (q/k/v/out, FFN, pooler) W8A8 on the MXU's
+    # double-rate int8 path (ops/quant.py) — serving knob, same scheme as
+    # ``OPTConfig.quantize_int8``; the parameter tree is unchanged.
+    # Attention score/context einsums and embeddings stay bf16.
+    quantize_int8: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -83,6 +88,15 @@ class BertConfig:
 
 
 def _dense(features: int, cfg: BertConfig, name: str, use_bias: bool = True):
+    if cfg.quantize_int8:
+        from ..ops.quant import Int8Dense
+
+        return Int8Dense(
+            features,
+            use_bias=use_bias,
+            kernel_init=nn.initializers.normal(cfg.initializer_range),
+            name=name,
+        )
     return nn.Dense(
         features,
         use_bias=use_bias,

@@ -36,6 +36,7 @@ import flax.linen as nn
 
 from ..ops.platform import is_tpu_backend
 from .bert import ATTN_MASK_BIAS
+from ..ops.quant import Int8Dense
 from .lora import LoRADense
 
 
@@ -67,6 +68,18 @@ class T5Config:
     # its HBM traffic; rank error within bf16 round-off — the QK scores are
     # bf16 in the serving configuration anyway)
     position_bias_bf16: bool = False
+    # run projection/FFN/lm-head matmuls W8A8 on the MXU's double-rate int8
+    # path (ops/quant.py) — serving knob, same scheme as
+    # ``OPTConfig.quantize_int8``; the parameter tree is unchanged. The
+    # single-query cross-attention reorder keeps its (already tiny) einsums
+    # in bf16. Requires lora_r == 0 (merge adapters first).
+    quantize_int8: bool = False
+
+    def __post_init__(self):
+        if self.quantize_int8 and self.lora_r:
+            raise ValueError(
+                "quantize_int8 requires lora_r == 0 — merge the LoRA "
+                "adapters into the base weights before quantized serving")
 
     @property
     def inner_dim(self) -> int:
@@ -191,11 +204,13 @@ class T5Attention(nn.Module):
         Lk = kv_in.shape[1]
         nh, dk = cfg.num_heads, cfg.d_kv
 
+        dense = Int8Dense if cfg.quantize_int8 else nn.Dense
+
         def proj(name, inp, use_lora):
             if use_lora and cfg.lora_r:
                 return LoRADense(cfg.inner_dim, r=cfg.lora_r, alpha=cfg.lora_alpha,
                                  use_bias=False, name=name)(inp)
-            return nn.Dense(cfg.inner_dim, use_bias=False, name=name)(inp)
+            return dense(cfg.inner_dim, use_bias=False, name=name)(inp)
 
         fuse = self._can_fuse(kv, key_mask)
         q2 = proj("q", x, self.lora)
@@ -250,7 +265,7 @@ class T5Attention(nn.Module):
                     preferred_element_type=jnp.float32,
                 )
             ctx2 = ctx.astype(x.dtype).reshape(B, 1, cfg.inner_dim)
-            out = nn.Dense(cfg.d_model, use_bias=False, name="o")(ctx2)
+            out = dense(cfg.d_model, use_bias=False, name="o")(ctx2)
             return out, position_bias
 
         k2 = proj("k", kv_in, False)
@@ -293,7 +308,7 @@ class T5Attention(nn.Module):
                 # interpret mode keeps the flag usable (if slow) off-TPU
                 interpret=not is_tpu_backend(),
             )
-            out = nn.Dense(cfg.d_model, use_bias=False, name="o")(ctx2)
+            out = dense(cfg.d_model, use_bias=False, name="o")(ctx2)
             return out, position_bias
 
         q = q2.reshape(B, Lq, nh, dk)
@@ -306,7 +321,7 @@ class T5Attention(nn.Module):
         probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
-        out = nn.Dense(cfg.d_model, use_bias=False, name="o")(
+        out = dense(cfg.d_model, use_bias=False, name="o")(
             ctx.reshape(B, Lq, cfg.inner_dim)
         )
         return out, position_bias
@@ -318,18 +333,19 @@ class T5FF(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.config
+        dense = Int8Dense if cfg.quantize_int8 else nn.Dense
         if cfg.is_gated_act:
-            gate = nn.Dense(cfg.d_ff, use_bias=False, name="wi_0")(x)
+            gate = dense(cfg.d_ff, use_bias=False, name="wi_0")(x)
             if cfg.dense_act_fn in ("gelu_new", "gelu"):
                 gate = nn.gelu(gate, approximate=True)
             else:
                 gate = nn.relu(gate)
-            lin = nn.Dense(cfg.d_ff, use_bias=False, name="wi_1")(x)
+            lin = dense(cfg.d_ff, use_bias=False, name="wi_1")(x)
             h = gate * lin
         else:
-            h = nn.Dense(cfg.d_ff, use_bias=False, name="wi")(x)
+            h = dense(cfg.d_ff, use_bias=False, name="wi")(x)
             h = nn.relu(h)
-        return nn.Dense(cfg.d_model, use_bias=False, name="wo")(h)
+        return dense(cfg.d_model, use_bias=False, name="wo")(h)
 
 
 class T5Block(nn.Module):
@@ -422,7 +438,9 @@ class T5ForConditionalGeneration(nn.Module):
         self.decoder = T5Stack(cfg, is_decoder=True,
                                num_layers=cfg.num_decoder_layers, name="decoder")
         if not cfg.tie_word_embeddings:
-            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False, name="lm_head")
+            head_cls = Int8Dense if cfg.quantize_int8 else nn.Dense
+            self.lm_head = head_cls(cfg.vocab_size, use_bias=False,
+                                    name="lm_head")
 
     def encode(self, input_ids=None, attention_mask=None, inputs_embeds=None):
         if inputs_embeds is None:
@@ -441,7 +459,13 @@ class T5ForConditionalGeneration(nn.Module):
             # returned hidden states stay unscaled so heads trained on HF
             # last_hidden_state (Blip2DecoderHeadRerankModel) see identical
             # inputs
-            logits = (hidden * (cfg.d_model ** -0.5)) @ self.shared.embedding.T
+            scaled = hidden * (cfg.d_model ** -0.5)
+            if cfg.quantize_int8:
+                from ..ops.quant import int8_dot
+
+                logits = int8_dot(scaled, self.shared.embedding.T)
+            else:
+                logits = scaled @ self.shared.embedding.T
         else:
             logits = self.lm_head(hidden)
         return logits, hidden

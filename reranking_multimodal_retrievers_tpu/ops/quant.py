@@ -82,12 +82,12 @@ class Int8Dense(nn.Module):
 
     features: int
     use_bias: bool = True
+    kernel_init: object = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x):
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (x.shape[-1], self.features),
+            "kernel", self.kernel_init, (x.shape[-1], self.features),
         )
         y = int8_dot(x, kernel)
         if self.use_bias:

@@ -72,6 +72,20 @@ def test_int8dense_restores_dense_checkpoint():
                                rtol=0.05, atol=0.02)
 
 
+def assert_rank_faithful(s_f, s_q):
+    """Quantized scores must track the float scores closely, and must order
+    every pair whose float-score gap exceeds the observed quantization noise
+    identically — near-ties inside the noise floor are allowed to swap (they
+    are ties to the quantized model by construction)."""
+    np.testing.assert_allclose(s_q, s_f, rtol=0.1, atol=0.02)
+    noise = max(float(np.max(np.abs(s_f - s_q))), 1e-6)
+    gap_f = s_f[:, None] - s_f[None, :]
+    gap_q = s_q[:, None] - s_q[None, :]
+    separated = np.abs(gap_f) > 2 * noise
+    assert separated.any()  # the fixture must exercise real orderings
+    assert (np.sign(gap_f[separated]) == np.sign(gap_q[separated])).all()
+
+
 def test_quantize_int8_rejects_lora():
     with pytest.raises(ValueError, match="lora_r"):
         OPTConfig.tiny(lora_r=8, quantize_int8=True)
@@ -97,7 +111,83 @@ def test_opt_quantized_scoring_is_rank_faithful():
         return np.asarray(
             jax.nn.softmax(jnp.stack([yes, no], -1), -1)[:, 0])
 
-    s_f, s_q = yes_scores(cfg_f), yes_scores(cfg_q)
-    # identical ranking over the K candidates
-    assert (np.argsort(-s_f) == np.argsort(-s_q)).all(), (s_f, s_q)
-    np.testing.assert_allclose(s_q, s_f, rtol=0.1, atol=0.02)
+    assert_rank_faithful(yes_scores(cfg_f), yes_scores(cfg_q))
+
+
+def test_t5_quantized_scoring_is_rank_faithful():
+    """Same property for the T5 family (monoBLIP2-FlanT5): bf16 vs W8A8
+    paths over identical params score closely and rank identically."""
+    from reranking_multimodal_retrievers_tpu.models.t5 import (
+        T5Config, T5ForConditionalGeneration)
+
+    kw = dict(d_model=32, d_kv=8, d_ff=64, num_heads=4, vocab_size=128)
+    cfg_f = T5Config.tiny(**kw)
+    cfg_q = T5Config.tiny(quantize_int8=True, **kw)
+    rng = np.random.default_rng(4)
+    K, L = 8, 12
+    ids = jnp.asarray(rng.integers(2, 128, size=(K, L)), jnp.int32)
+    am = jnp.ones((K, L), jnp.int32)
+    dec = jnp.zeros((K, 1), jnp.int32)
+    params = T5ForConditionalGeneration(cfg_f).init(
+        jax.random.PRNGKey(0), ids, am, dec)
+
+    def yes_scores(cfg):
+        logits, _ = T5ForConditionalGeneration(cfg).apply(
+            params, ids, am, dec)
+        first = logits[:, 0, :].astype(jnp.float32)
+        yes, no = first[:, 10], first[:, 11]
+        return np.asarray(jax.nn.softmax(jnp.stack([yes, no], -1), -1)[:, 0])
+
+    assert_rank_faithful(yes_scores(cfg_f), yes_scores(cfg_q))
+
+
+def test_t5_quantize_int8_rejects_lora():
+    from reranking_multimodal_retrievers_tpu.models.t5 import T5Config
+
+    with pytest.raises(ValueError, match="lora_r"):
+        T5Config.tiny(lora_r=8, quantize_int8=True)
+
+
+def test_bert_cross_encoder_quantized_is_rank_faithful():
+    """The headline family (FullContextRerankModel over BERT): bf16 vs W8A8
+    paths over identical params stay rank-faithful end-to-end."""
+    from reranking_multimodal_retrievers_tpu.models.bert import BertConfig
+    from reranking_multimodal_retrievers_tpu.models.flmr import FLMRConfig
+    from reranking_multimodal_retrievers_tpu.models.vit import CLIPVisionConfig
+    from reranking_multimodal_retrievers_tpu.models.rerankers import (
+        FullContextRerankModel, RerankConfig)
+
+    def build(q8):
+        bert_kw = dict(quantize_int8=q8)
+        flmr = FLMRConfig(
+            text_config=BertConfig.tiny(**bert_kw),
+            vision_config=CLIPVisionConfig.tiny(),
+            dim=8, mapping_network_prefix_length=2,
+            use_transformer_mapping_network=False,
+        )
+        return RerankConfig(
+            flmr=flmr,
+            cross_encoder=BertConfig.tiny(max_position_embeddings=128,
+                                          **bert_kw),
+            loss_fn="BCE", max_query_length=4,
+            max_decoder_source_length=24,
+        )
+
+    rng = np.random.default_rng(5)
+    K, L = 8, 24
+    ids = jnp.asarray(rng.integers(10, 1000, size=(K, L)), jnp.int32)
+    am = jnp.ones((K, L), jnp.int32)
+    tt = jnp.asarray(np.repeat([[0] * 6 + [1] * (L - 6)], K, axis=0),
+                     jnp.int32)
+    m_f = FullContextRerankModel(build(False))
+    m_q = FullContextRerankModel(build(True))
+    pix = jnp.asarray(rng.normal(size=(1, 3, 28, 28)), jnp.float32)
+    params = m_f.init(jax.random.PRNGKey(0), ids[:2], am[:2], tt[:2],
+                      pix, num_negative_examples=1)
+
+    def scores(m):
+        out = m.apply(params, ids, am, tt, pix,
+                      num_negative_examples=K - 1)
+        return np.asarray(out.logits[:, 0], np.float32)
+
+    assert_rank_faithful(scores(m_f), scores(m_q))
