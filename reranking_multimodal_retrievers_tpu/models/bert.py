@@ -23,6 +23,8 @@ from typing import Optional
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.quant import Int8Dense
+
 ATTN_MASK_BIAS = -1e9
 
 
@@ -89,8 +91,6 @@ class BertConfig:
 
 def _dense(features: int, cfg: BertConfig, name: str, use_bias: bool = True):
     if cfg.quantize_int8:
-        from ..ops.quant import Int8Dense
-
         return Int8Dense(
             features,
             use_bias=use_bias,

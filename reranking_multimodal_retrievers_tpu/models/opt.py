@@ -209,9 +209,10 @@ class OPTForCausalLM(nn.Module):
             embedding_init=init, name="embed_positions",
         )
         if cfg.embed_dim != cfg.hidden_size:
-            self.project_in = nn.Dense(cfg.hidden_size, use_bias=False,
+            proj_cls = Int8Dense if cfg.quantize_int8 else nn.Dense
+            self.project_in = proj_cls(cfg.hidden_size, use_bias=False,
                                        name="project_in")
-            self.project_out = nn.Dense(cfg.embed_dim, use_bias=False,
+            self.project_out = proj_cls(cfg.embed_dim, use_bias=False,
                                         name="project_out")
         else:
             self.project_in = None

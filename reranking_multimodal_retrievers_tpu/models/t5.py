@@ -36,7 +36,7 @@ import flax.linen as nn
 
 from ..ops.platform import is_tpu_backend
 from .bert import ATTN_MASK_BIAS
-from ..ops.quant import Int8Dense
+from ..ops.quant import Int8Dense, int8_dot
 from .lora import LoRADense
 
 
@@ -461,8 +461,6 @@ class T5ForConditionalGeneration(nn.Module):
             # inputs
             scaled = hidden * (cfg.d_model ** -0.5)
             if cfg.quantize_int8:
-                from ..ops.quant import int8_dot
-
                 logits = int8_dot(scaled, self.shared.embedding.T)
             else:
                 logits = scaled @ self.shared.embedding.T

@@ -18,7 +18,13 @@ Scheme (W8A8, the standard dynamic-per-token recipe):
   outliers at ≥2.7b; dynamic per-token quantization is the SmoothQuant /
   LLM.int8() baseline that keeps them rank-faithful);
 - accumulation: int32 on the MXU (``preferred_element_type``), rescaled to
-  fp32 by the outer product of the two scale vectors.
+  fp32 by the outer product of the two scale vectors. int32 cannot overflow
+  for any contraction here: 127·127·K stays below 2³¹ up to K ≈ 133k, far
+  above the largest in-dim (10240);
+- gradients: straight-through (``jax.custom_vjp``) — the backward pass is
+  the exact fp matmul cotangent, so a ``quantize_int8`` model is also
+  *trainable* (quantization-aware training) instead of silently dead
+  (``round``/``clip`` otherwise have zero gradient into every kernel).
 
 Non-matmul ops (layernorm, softmax, residuals, attention) stay bf16: they
 carry <5% of the FLOPs at opt-2.7b scale and all of the numerical risk.
@@ -54,12 +60,14 @@ def quantize_cols(w: jnp.ndarray, eps: float = 1e-8):
     return q.astype(jnp.int8), scale
 
 
+@jax.custom_vjp
 def int8_dot(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """``x @ w`` through the int8 MXU path; fp32 result.
 
     ``x``: ``[..., in]`` (any float dtype), ``w``: ``[in, out]``. Both sides
     are quantized here (dynamic per-row / per-column); the dot accumulates
-    int32 and the result is rescaled by ``row_scale ⊗ col_scale``.
+    int32 and the result is rescaled by ``row_scale ⊗ col_scale``. The
+    gradient is straight-through: the exact fp cotangent of ``x @ w``.
     """
     xq, xs = quantize_rows(x)
     wq, ws = quantize_cols(w)
@@ -68,7 +76,30 @@ def int8_dot(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    return acc.astype(jnp.float32) * xs * ws
+    # ws squeezed to [out] so the broadcast is rank-preserving for 1D x too
+    return acc.astype(jnp.float32) * xs * ws[0]
+
+
+def _int8_dot_fwd(x, w):
+    return int8_dot(x, w), (x, w)
+
+
+def _int8_dot_bwd(res, g):
+    x, w = res
+    g32 = g.astype(jnp.float32)
+    dx = jax.lax.dot_general(
+        g32, w.astype(jnp.float32),
+        dimension_numbers=(((g.ndim - 1,), (1,)), ((), ())),
+    )
+    dw = jnp.einsum(
+        "bi,bo->io",
+        x.astype(jnp.float32).reshape(-1, x.shape[-1]),
+        g32.reshape(-1, g.shape[-1]),
+    )
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+int8_dot.defvjp(_int8_dot_fwd, _int8_dot_bwd)
 
 
 class Int8Dense(nn.Module):
@@ -77,7 +108,9 @@ class Int8Dense(nn.Module):
     The parameter tree (``kernel``/``bias``, same shapes and initializers)
     is identical to ``nn.Dense``, so a checkpoint trained or bridged through
     the bf16 path restores into the quantized module unchanged — int8 is a
-    serving-time execution mode, not a storage format.
+    serving-time execution mode, not a storage format. Output dtype follows
+    ``nn.Dense(dtype=None)``'s promotion (input ∨ params), and the
+    straight-through gradient keeps the module trainable (QAT).
     """
 
     features: int
@@ -89,8 +122,9 @@ class Int8Dense(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init, (x.shape[-1], self.features),
         )
+        out_dtype = jnp.promote_types(x.dtype, kernel.dtype)
         y = int8_dot(x, kernel)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(jnp.float32)
-        return y.astype(x.dtype)
+        return y.astype(out_dtype)
