@@ -216,3 +216,31 @@ def test_fetch_and_bridge_config_resolves_tokenizer_statics(tmp_path):
     assert cfg.instruction_token_id == instruction_token_id(tok, ":")
     assert cfg.instruction_token_id >= 0
     assert len(cfg.punctuation_token_ids) > 0
+
+
+def test_upload_model_to_hub(tmp_path):
+    """Upload tool: idempotent repo creation + folder push via injected api
+    (reference `tools/upload_model_to_hub.py`), offline-safe."""
+    from reranking_multimodal_retrievers_tpu.tools.upload_model_to_hub import (
+        upload_folder,
+    )
+
+    calls = []
+
+    class FakeApi:
+        def create_repo(self, **kw):
+            calls.append(("create", kw))
+
+        def upload_folder(self, **kw):
+            calls.append(("upload", kw))
+
+    (tmp_path / "params").write_text("x")
+    repo = upload_folder(str(tmp_path), "org/model", private=True,
+                         api=FakeApi())
+    assert repo == "org/model"
+    assert calls[0] == ("create", {"repo_id": "org/model",
+                                   "repo_type": "model", "private": True,
+                                   "exist_ok": True})
+    assert calls[1][1]["folder_path"] == str(tmp_path)
+    with pytest.raises(FileNotFoundError):
+        upload_folder(str(tmp_path / "missing"), "org/model", api=FakeApi())
