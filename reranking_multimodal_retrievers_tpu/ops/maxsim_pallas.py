@@ -147,6 +147,123 @@ def maxsim_scores_pallas(
     return jnp.transpose(out4, (1, 3, 0, 2)).reshape(B, N)
 
 
+def _maxsim_kernel_int8(q_ref, qs_ref, d_ref, ds_ref, bias_ref, out_ref, *,
+                        B_blk, C_blk, L_q, L_d, dim):
+    q = q_ref[...].reshape(B_blk * L_q, dim)
+    d = d_ref[...].reshape(C_blk * L_d, dim)
+    # s8×s8→s32 on the MXU's double-rate integer path (the whole point)
+    scores = jax.lax.dot_general(
+        d, q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [C_blk*L_d, B_blk*L_q] int32
+    if bias_ref is not None:
+        scores = scores + bias_ref[...]  # int32 [rows, 1] mask bias
+    per_tok = jnp.max(scores.reshape(C_blk, L_d, B_blk * L_q), axis=1)
+    # rescale AFTER the max: the per-QUERY-token scale is constant over doc
+    # tokens, so it folds into the block-summing matmul's 0/1 matrix; the
+    # per-DOC scale is constant over query tokens too, so it multiplies the
+    # final [C_blk, B_blk] tile. The big [C·L_d, B·L_q] block never leaves
+    # int32 — bias add + max run as integer VPU ops (no cast pass at all,
+    # cheaper than the bf16 kernel's cast+bias+max).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B_blk * L_q, B_blk), 0) // L_q
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B_blk * L_q, B_blk), 1)
+    summer = jnp.where(rows == cols, qs_ref[...], 0.0)  # [B_blk*L_q, B_blk]
+    totals = jax.lax.dot_general(
+        per_tok.astype(jnp.float32), summer,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [C_blk, B_blk]
+    out_ref[0, 0, :, :] = totals * ds_ref[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B_blk", "C_blk", "interpret")
+)
+def maxsim_scores_pallas_int8(
+    Qq: jax.Array,
+    q_scales: jax.Array,
+    Dq: jax.Array,
+    d_scales: jax.Array,
+    mask: Optional[jax.Array] = None,
+    B_blk: int = 8,
+    C_blk: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """All-pairs MaxSim totals over an int8-quantized index (W8A8 retrieval).
+
+    Same contract as :func:`maxsim_scores_pallas` but both sides are int8 and
+    the MXU accumulates int32 at its double rate. The doc side uses ONE scale
+    per document (`engine/index.QuantizedTokenIndex` — tokens are
+    L2-normalized so per-doc symmetric scales stay tight), which is what lets
+    every rescale happen after the token-max instead of on the
+    [C·L_d, B·L_q] score block.
+
+    Args:
+      Qq: [B, L_q, dim] int8 query codes (zero rows for masked tokens).
+      q_scales: [B, L_q] fp32 per-query-token scales (codes·scale ≈ values).
+      Dq: [N, L_d, dim] int8 doc codes.
+      d_scales: [N] fp32 per-doc scales.
+      mask: [N, L_d] bool doc-token validity, or None for an unpadded corpus.
+
+    Returns:
+      [B, N] fp32 score matrix ≈ the fp MaxSim of the dequantized operands.
+    """
+    from jax.experimental import pallas as pl
+
+    B, L_q, dim = Qq.shape
+    N, L_d, _ = Dq.shape
+    assert Qq.dtype == jnp.int8 and Dq.dtype == jnp.int8, (Qq.dtype, Dq.dtype)
+    assert B % B_blk == 0 and N % C_blk == 0, (B, B_blk, N, C_blk)
+    assert N * L_d <= (1 << 23), (
+        f"maxsim_scores_pallas_int8: {N}×{L_d} doc tokens exceed the "
+        "single-call limit; scan over doc slabs (engine/search)"
+    )
+
+    kernel = functools.partial(
+        _maxsim_kernel_int8, B_blk=B_blk, C_blk=C_blk, L_q=L_q, L_d=L_d,
+        dim=dim,
+    )
+    grid = (N // C_blk, B // B_blk)
+    in_specs = [
+        pl.BlockSpec((B_blk, L_q, dim), lambda c, b: (b, 0, 0)),
+        pl.BlockSpec((B_blk * L_q, 1), lambda c, b: (b, 0)),
+        pl.BlockSpec((C_blk, L_d, dim), lambda c, b: (c, 0, 0)),
+        pl.BlockSpec((C_blk, 1), lambda c, b: (c, 0)),
+    ]
+    args = [Qq, q_scales.astype(jnp.float32).reshape(B * L_q, 1), Dq,
+            d_scales.astype(jnp.float32).reshape(N, 1)]
+    if mask is not None:
+        # int32 additive bias: −2²⁵ dominates any |acc| ≤ 127²·dim (≈2²¹ at
+        # dim 128) without overflow, so fully-masked docs never win — the
+        # integer analogue of the fp −9999 convention (`flmr_utils.py:27`)
+        bias = jnp.where(mask, 0, -(1 << 25)).astype(jnp.int32)
+        args.append(bias.reshape(N * L_d, 1))
+        in_specs.append(pl.BlockSpec((C_blk * L_d, 1), lambda c, b: (c, 0)))
+    else:
+        masked_kernel = kernel
+        kernel = lambda q_ref, qs_ref, d_ref, ds_ref, out_ref: masked_kernel(
+            q_ref, qs_ref, d_ref, ds_ref, None, out_ref)
+    out4 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, C_blk, B_blk), lambda c, b: (c, b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (N // C_blk, B // B_blk, C_blk, B_blk), jnp.float32
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * L_d * L_q * dim,
+            bytes_accessed=(
+                B * L_q * dim + N * L_d * dim + B * N * 4
+            ),
+            transcendentals=0,
+        ),
+    )(*args)
+    return jnp.transpose(out4, (1, 3, 0, 2)).reshape(B, N)
+
+
 def run_maxsim_benchmark(
     B: int = 128,
     N: int = 8192,
