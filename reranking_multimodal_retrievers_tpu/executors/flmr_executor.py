@@ -391,6 +391,15 @@ class FLMRExecutor(BaseExecutor):
             )
             searcher = self._CompressedAdapter(
                 CompressedSearcher(cidx, k=k), index.doc_ids)
+        elif "use_int8_index" in modules:
+            # W8A8 exact retrieval: same exhaustive scan over a per-doc-scaled
+            # int8 index (half the HBM, double-rate int8 MXU; `engine/index.py
+            # QuantizedTokenIndex`). Rank-faithfulness is pinned by
+            # tests/test_quantized_index.py.
+            from ..engine.index import QuantizedTokenIndex
+
+            searcher = Searcher(QuantizedTokenIndex.from_token_index(index),
+                                k=k)
         else:
             searcher = Searcher(index, k=k)
 

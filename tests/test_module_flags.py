@@ -203,3 +203,31 @@ def test_retriever_model_path_loads_frozen_retriever(tmp_path):
 
     with pytest.raises(ValueError, match="retriever_model_path"):
         RerankerExecutor(cfg2, use_dummy_data=True)
+
+
+def test_use_int8_index_flag(tmp_path):
+    """'use_int8_index' routes eval retrieval through the W8A8
+    QuantizedTokenIndex exact scan (`executors/flmr_executor.py`)."""
+    import json
+    import os
+
+    from reranking_multimodal_retrievers_tpu.cli.main import main
+
+    opts = [
+        f"meta.EXPERIMENT_FOLDER='{tmp_path}/experiments'",
+        f"data_pipeline.cache_dir='{tmp_path}/cache'",
+    ]
+    rc = main([
+        "--config", "configs/okvqa_flmr.json", "--mode", "test",
+        "--use_dummy_data",
+        "--opts", *opts,
+        "model_config.modules=['use_int8_index']",
+        "test.trainer_paras.limit_test_batches=1",
+    ])
+    assert rc == 0
+    exp_dir = str(tmp_path / "experiments" / "okvqa_flmr" / "version_0")
+    preds = os.path.join(exp_dir, "test_predictions_rank_0.json")
+    with open(preds) as f:
+        dump = json.load(f)
+    assert "recall_at_5" in dump["metrics"]
+    assert dump["predictions"][0]["top_ranking_passages"]
