@@ -215,12 +215,17 @@ class RetrievalService:
     """Exact-MaxSim retrieval behind a micro-batcher.
 
     ``search_fn(Q, D, M) -> (vals, idx)`` is the compiled search program for
-    a static ``[B, L_q, dim]`` query batch (`engine.make_search_fn`)."""
+    a static ``[B, L_q, dim]`` query batch (`engine.make_search_fn`). An int8
+    ``QuantizedTokenIndex`` is accepted too — pass the program from
+    `engine.make_search_fn_int8` (signature ``(Q, codes, scales, M)``)."""
 
     def __init__(self, search_fn, index, batch_queries: int = 8,
                  max_wait_ms: float = 2.0):
+        from ..engine.index import QuantizedTokenIndex
+
         self.search_fn = search_fn
         self.index = index
+        self._quantized = isinstance(index, QuantizedTokenIndex)
         self.B = batch_queries
         self.batcher = MicroBatcher(self._run, batch_queries, max_wait_ms)
 
@@ -237,10 +242,16 @@ class RetrievalService:
         if n < self.B:
             Q = np.concatenate(
                 [Q, np.zeros((self.B - n,) + Q.shape[1:], Q.dtype)])
-        vals, idx = self.search_fn(
-            jnp.asarray(Q, dtype=self.index.embeddings.dtype),
-            self.index.embeddings, self.index.mask,
-        )
+        if self._quantized:
+            vals, idx = self.search_fn(
+                jnp.asarray(Q, dtype=jnp.float32),
+                self.index.codes, self.index.scales, self.index.mask,
+            )
+        else:
+            vals, idx = self.search_fn(
+                jnp.asarray(Q, dtype=self.index.embeddings.dtype),
+                self.index.embeddings, self.index.mask,
+            )
         vals, idx = np.asarray(vals), np.asarray(idx)
         out = []
         for i in range(n):

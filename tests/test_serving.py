@@ -259,3 +259,29 @@ def test_submit_close_race_never_leaves_unresolved_future():
             t.join(timeout=10)
             assert not t.is_alive(), "client hung on unresolved future"
         assert len(outcomes) == 8
+
+
+def test_retrieval_service_int8_index():
+    """RetrievalService over a QuantizedTokenIndex (W8A8 retrieval path)."""
+    from reranking_multimodal_retrievers_tpu.engine.index import (
+        QuantizedTokenIndex,
+    )
+    from reranking_multimodal_retrievers_tpu.engine.search import (
+        make_search_fn_int8,
+    )
+
+    rng = np.random.default_rng(1)
+    N, Ld, dim, Lq, B = 32, 8, 32, 8, 4
+    emb = rng.normal(size=(N, Ld, dim)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    index = QuantizedTokenIndex.from_arrays(
+        emb, np.ones((N, Ld), bool), [f"d{i}" for i in range(N)])
+    fn = make_search_fn_int8(None, index.num_padded_docs, k=3)
+    svc = RetrievalService(fn, index, batch_queries=B, max_wait_ms=30)
+
+    futs = [svc.search(emb[t, :Lq]) for t in (3, 11, 30)]
+    for t, fut in zip((3, 11, 30), futs):
+        doc_ids, scores = fut.result(timeout=10)
+        assert doc_ids[0] == f"d{t}"          # self-retrieval top-1
+        assert len(doc_ids) == 3 and scores.shape == (3,)
+    svc.close()
