@@ -1,12 +1,14 @@
-from .index import TokenIndex, encode_corpus
-from .search import Searcher, search_exhaustive
+from .index import QuantizedTokenIndex, TokenIndex, encode_corpus
+from .search import Searcher, make_search_fn_int8, search_exhaustive
 from .rerank_eval import make_chunked_rerank_fn
 
 __all__ = [
     "TokenIndex",
+    "QuantizedTokenIndex",
     "encode_corpus",
     "Searcher",
     "search_exhaustive",
+    "make_search_fn_int8",
     "make_chunked_rerank_fn",
 ]
 from .data import Queries, Collection, Ranking, Examples
