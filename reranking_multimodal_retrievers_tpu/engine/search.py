@@ -54,11 +54,14 @@ def _local_search(Q, D, M, *, k: int, chunk: int, use_pallas: bool = False,
 
     ``unpadded=True`` (every REAL doc exactly L_d real tokens) drops the
     per-token mask operand from the kernel, and ``score_dtype=jnp.bfloat16``
-    halves the VPU bytes of its reduction passes — at the 100k×256 retrieval
-    shape the kernel is VPU-bound, not HBM- or MXU-bound (see `bench.py`
-    ``bench_retrieval`` roofline), so both directly raise QPS. Whole-padding
-    docs (all-False mask rows) are still excluded from top-k via a cheap
-    per-doc pass, so the knob is safe on a padded sharded ``TokenIndex``.
+    halves the VPU bytes of its reduction passes. At the 100k×256 retrieval
+    shape with a 128-query batch the kernel sits near the MXU/VPU crossover
+    (~76% of the bf16 MXU roofline, measured in `bench.py`
+    ``bench_retrieval``; bf16 scores buy only ~4% more there), so the real
+    next lever is the int8 path (:func:`_local_search_int8`), which halves
+    the MXU time AND cheapens the VPU passes. Whole-padding docs (all-False
+    mask rows) are still excluded from top-k via a cheap per-doc pass, so
+    the knob is safe on a padded sharded ``TokenIndex``.
     """
     n_local = D.shape[0]
     B = Q.shape[0]
