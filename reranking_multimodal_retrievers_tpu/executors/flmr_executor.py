@@ -410,6 +410,10 @@ class FLMRExecutor(BaseExecutor):
             for src, sub in self.source_id2doc.items():
                 if sub:
                     sidx = self.build_index(id2doc=sub)
+                    if "use_int8_index" in modules:
+                        from ..engine.index import QuantizedTokenIndex
+
+                        sidx = QuantizedTokenIndex.from_token_index(sidx)
                     source_searchers[src] = Searcher(
                         sidx, k=min(max(Ks), max(sidx.num_docs, 1)))
 
