@@ -538,3 +538,67 @@ class SplitWITPassagesForLargeScaleTraining(HFDatasetTransform):
         out["valid_passages"] = reduced
         out["test_passages"] = reduced
         return out
+
+
+@register_transform_functor
+class ConvertWITImagePixels(HFDatasetTransform):
+    """Decode WIT ``image_pixels`` TSV shards (``image_url``, base64 bytes,
+    ``metadata_url``) into on-disk ``{md5(image_url)}.jpg`` files — the id
+    convention `LoadWITData` joins against (reference
+    `src/tools/convert_wit_data.py:13-64`; there the final ``save`` call is
+    commented out — this implements the documented intent). Rows that fail
+    to decode, or are under ``min_side`` pixels on either side, are skipped
+    and counted. Returns a manifest dataset of saved ``image_id``s so the
+    node composes in a DataPipeline DAG."""
+
+    def setup(self, pixels_dir=None, images_dir=None, min_side: int = 10,
+              **kwargs):
+        self.pixels_dir = pixels_dir
+        self.images_dir = images_dir
+        self.min_side = min_side
+        return self
+
+    def _call(self, data=None):
+        import base64
+        import csv
+        import hashlib
+        import io
+        import os
+
+        import datasets
+        from PIL import Image
+
+        os.makedirs(self.images_dir, exist_ok=True)
+        saved, skipped = [], 0
+        shards = sorted(
+            f for f in os.listdir(self.pixels_dir)
+            if f.endswith((".csv", ".tsv"))
+        )
+        for shard in shards:
+            with open(os.path.join(self.pixels_dir, shard), newline="") as f:
+                # reference reads headerless TSV with fixed column order
+                for row in csv.reader(f, delimiter="\t"):
+                    if len(row) < 2:
+                        skipped += 1
+                        continue
+                    image_url, b64_bytes = row[0], row[1]
+                    try:
+                        img = Image.open(
+                            io.BytesIO(base64.b64decode(b64_bytes))
+                        ).convert("RGB")
+                    except Exception:
+                        logger.warning("error decoding image %s", image_url)
+                        skipped += 1
+                        continue
+                    if min(img.size) < self.min_side:
+                        logger.warning(
+                            "image too small %s %s", image_url, img.size)
+                        skipped += 1
+                        continue
+                    image_id = hashlib.md5(image_url.encode()).hexdigest()
+                    img.save(os.path.join(self.images_dir,
+                                          f"{image_id}.jpg"))
+                    saved.append(image_id)
+        logger.info("converted %d WIT images (%d skipped)",
+                    len(saved), skipped)
+        return datasets.Dataset.from_dict({"image_id": saved})

@@ -327,10 +327,12 @@ class RerankerExecutor(BaseExecutor):
             else:
                 with open(path, "rb") as f:
                     loaded = pickle.load(f)
-            # accepted shapes: {qid: [{passage_id, score}...]} or the
-            # prediction-dump format from FLMRExecutor.logging_results
-            if "predictions" in loaded:
-                for entry in loaded["predictions"]:
+            # accepted shapes: {qid: [{passage_id, score}...]}, the
+            # prediction-dump format from FLMRExecutor.logging_results, or a
+            # reference-produced dump ({"output": [...]}, the layout
+            # `src/tools/reduce_retrieval_result_file_size.py` pickles)
+            if "predictions" in loaded or "output" in loaded:
+                for entry in loaded.get("predictions") or loaded["output"]:
                     self.questionId2topPassages[str(entry["question_id"])] = entry[
                         "top_ranking_passages"
                     ]
@@ -372,9 +374,17 @@ class RerankerExecutor(BaseExecutor):
 
     def static_retrieve(self, question_id) -> List[dict]:
         """Reference `:1032-1054`; lists shorter than K pad by replication
-        (reference `FLMR_base_executor.py:1006-1015`)."""
+        (reference `FLMR_base_executor.py:1006-1015`). Entries from reduced
+        static files (`tools/reduce_retrieval_file.py` strips ``content``,
+        mirroring `src/tools/reduce_retrieval_result_file_size.py`) get their
+        content re-resolved from the passage corpus, as the reference does
+        via its own ``passage_id2doc`` lookup."""
         docs = self.questionId2topPassages.get(str(question_id), [])
-        docs = docs[: self.docs_to_rerank]
+        docs = [
+            d if "content" in d else {
+                **d, "content": self.id2doc.get(d["passage_id"], "")}
+            for d in docs[: self.docs_to_rerank]
+        ]
         while docs and len(docs) < self.docs_to_rerank:
             docs = docs + docs[: self.docs_to_rerank - len(docs)]
         return docs

@@ -244,3 +244,120 @@ def test_upload_model_to_hub(tmp_path):
     assert calls[1][1]["folder_path"] == str(tmp_path)
     with pytest.raises(FileNotFoundError):
         upload_folder(str(tmp_path / "missing"), "org/model", api=FakeApi())
+
+
+def test_reduce_retrieval_file(tmp_path):
+    """reduce tool strips content + pickles; both dump layouts survive
+    (reference `src/tools/reduce_retrieval_result_file_size.py:1-35`)."""
+    import json
+    import pickle
+
+    from reranking_multimodal_retrievers_tpu.tools.reduce_retrieval_file import (
+        reduce_retrieval_file,
+    )
+
+    entries = [_entry("q1", ["p1", "p2"], ["p1"], raw_order=["p2", "p1"])]
+    for key in ("output", "predictions"):
+        path = tmp_path / f"{key}.json"
+        path.write_text(json.dumps({key: entries}))
+        target = reduce_retrieval_file(str(path))
+        assert target.endswith(".pkl")
+        with open(target, "rb") as f:
+            reduced = pickle.load(f)
+        for p in reduced[key][0]["top_ranking_passages"]:
+            assert set(p) == {"passage_id", "score"}
+        for p in reduced[key][0]["raw_top_ranking_passages"]:
+            assert "content" not in p
+        assert os.path.getsize(target) < os.path.getsize(path) * 2
+
+
+def test_convert_wit_image_pixels(tmp_path):
+    """b64 TSV shards -> md5-named jpgs, bad/too-small rows skipped
+    (reference `src/tools/convert_wit_data.py:13-64`)."""
+    import base64
+    import hashlib
+    import io
+
+    from PIL import Image
+
+    from reranking_multimodal_retrievers_tpu.data.ops.wit_ops import (
+        ConvertWITImagePixels,
+    )
+
+    def b64_img(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (120, 30, 200)).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    pixels = tmp_path / "pixels"
+    images = tmp_path / "images"
+    pixels.mkdir()
+    rows = [
+        ("http://a/ok.png", b64_img(32, 24), "m"),
+        ("http://a/small.png", b64_img(4, 4), "m"),   # under min_side
+        ("http://a/bad.png", "not-base64-image!", "m"),  # decode failure
+    ]
+    (pixels / "shard0.tsv").write_text(
+        "\n".join("\t".join(r) for r in rows))
+
+    fn = ConvertWITImagePixels(use_dummy_data=False, global_config={})
+    fn.setup(pixels_dir=str(pixels), images_dir=str(images))
+    manifest = fn()
+
+    ok_id = hashlib.md5(b"http://a/ok.png").hexdigest()
+    assert manifest["image_id"] == [ok_id]
+    saved = Image.open(images / f"{ok_id}.jpg")
+    assert saved.size == (32, 24)
+    assert len(list(images.iterdir())) == 1
+
+
+def test_init_retrieve_accepts_reference_output_format(tmp_path):
+    """Static retrieval loads reference-produced dumps ({"output": [...]},
+    json or the reduce-tool pickle) in addition to this framework's
+    {"predictions": [...]} layout (reference `Reranker_base_executor.py:244-271`)."""
+    import json
+    import pickle
+
+    from reranking_multimodal_retrievers_tpu.executors.reranker_executor import (
+        RerankerExecutor,
+    )
+
+    entries = [_entry("q7", ["p3", "p1"], ["p1"])]
+    json_path = tmp_path / "ref_dump.json"
+    json_path.write_text(json.dumps({"output": entries}))
+    pkl_path = tmp_path / "ref_dump.pkl"
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"output": entries}, f)
+
+    for path in (json_path, pkl_path):
+        ex = object.__new__(RerankerExecutor)
+        ex.config = ConfigDict(
+            {"model_config": {"retrieve_result_path": str(path)}})
+        ex.use_dummy_data = False
+        ex.init_retrieve()
+        assert [p["passage_id"] for p in ex.questionId2topPassages["q7"]] == [
+            "p3", "p1"]
+
+
+def test_static_retrieve_resolves_stripped_content():
+    """Entries from reduced static files (no ``content``) are re-resolved
+    from the passage corpus by static_retrieve."""
+    from reranking_multimodal_retrievers_tpu.executors.reranker_executor import (
+        RerankerExecutor,
+    )
+
+    ex = object.__new__(RerankerExecutor)
+    ex.docs_to_rerank = 3
+    ex.id2doc = {"p1": "text one", "p2": "text two"}
+    ex.questionId2topPassages = {
+        "q1": [{"passage_id": "p1", "score": 0.9},
+               {"passage_id": "p2", "score": 0.5}]
+    }
+    docs = ex.static_retrieve("q1")
+    assert len(docs) == 3  # padded by replication to docs_to_rerank
+    assert docs[0]["content"] == "text one"
+    assert docs[1]["content"] == "text two"
+    assert docs[2]["content"] == "text one"
+    # entries that already carry content are untouched
+    ex.questionId2topPassages["q1"][0]["content"] = "preloaded"
+    assert ex.static_retrieve("q1")[0]["content"] == "preloaded"
