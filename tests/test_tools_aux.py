@@ -361,3 +361,29 @@ def test_static_retrieve_resolves_stripped_content():
     # entries that already carry content are untouched
     ex.questionId2topPassages["q1"][0]["content"] = "preloaded"
     assert ex.static_retrieve("q1")[0]["content"] == "preloaded"
+
+
+def test_prepare_cc_images(tmp_path):
+    """Thread-pooled URL fetch with injectable fetcher (reference
+    `src/tools/prepare_conceptual_caption_images.py:18-65`), offline-safe:
+    failures counted, existing files skipped."""
+    from PIL import Image
+
+    from reranking_multimodal_retrievers_tpu.tools.prepare_cc_images import (
+        fetch_images,
+    )
+
+    def fake_fetch(url):
+        if url.endswith("bad"):
+            return None
+        return Image.new("RGB", (16, 16), (10, 20, 30))
+
+    rows = [("a", "http://x/a"), ("b", "http://x/bad"), ("c", "http://x/c")]
+    out = fetch_images(rows, str(tmp_path / "imgs"), num_threads=2,
+                       fetch_fn=fake_fetch)
+    assert out["saved"] == ["a", "c"] and out["failed"] == ["b"]
+    assert Image.open(tmp_path / "imgs" / "a.jpg").size == (16, 16)
+    # second pass skips what exists
+    out2 = fetch_images(rows, str(tmp_path / "imgs"), num_threads=2,
+                        fetch_fn=fake_fetch)
+    assert out2["skipped"] == 2 and out2["failed"] == ["b"]
