@@ -14,3 +14,4 @@ __all__ = [
 from .data import Queries, Collection, Ranking, Examples
 from .infra import EngineConfig, Provenance, Run
 from .compress import pool_doc_tokens, pool_index
+from . import utility
