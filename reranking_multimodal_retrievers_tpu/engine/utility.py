@@ -234,6 +234,44 @@ def annotate_em(qid2ranking: Dict, collection: Dict, qid2answers: Dict
     return labeled, metrics
 
 
+def msmarco_eval(qid2ranking: Dict, qid2positives: Dict,
+                 recall_depths: Sequence[int] = (50, 200, 1000, 5000, 10000),
+                 ) -> Dict:
+    """`utility/evaluate/msmarco_passages.py:17-93`: MRR@10 (reciprocal rank
+    of the FIRST positive, zero when it falls below 10) and Recall@depth
+    (fraction of a query's positives ranked within depth), each averaged
+    over judged queries and, separately, over ranked queries."""
+    assert set(qid2ranking) <= set(qid2positives)
+    num_judged = len(qid2positives)
+    num_ranked = len(qid2ranking)
+    mrr_sum = 0.0
+    recall_sums = {d: 0.0 for d in recall_depths}
+    for qid, positives in qid2positives.items():
+        pos = set(positives)
+        ranking = qid2ranking.get(qid, [])
+        for i, (pid, *_rest) in enumerate(ranking):
+            if pid in pos:
+                if i + 1 <= 10:
+                    mrr_sum += 1.0 / (i + 1)
+                break
+        for i, (pid, *_rest) in enumerate(ranking):
+            if pid in pos:
+                for depth in recall_depths:
+                    if i + 1 <= depth:
+                        recall_sums[depth] += 1.0 / len(positives)
+    out = {
+        "num_judged_queries": num_judged,
+        "num_ranked_queries": num_ranked,
+        "mrr@10": mrr_sum / num_judged,
+        "mrr@10_ranked_only": mrr_sum / max(num_ranked, 1),
+    }
+    for depth in recall_depths:
+        out[f"recall@{depth}"] = recall_sums[depth] / num_judged
+        out[f"recall@{depth}_ranked_only"] = (
+            recall_sums[depth] / max(num_ranked, 1))
+    return out
+
+
 # ------------------------------------------------------------ ranking ops
 
 

@@ -169,3 +169,25 @@ def test_docs2passages_wraparound():
     assert passages[2].split() == words[20:] + words[:5]
     # short doc: one passage, unchanged
     assert docs2passages("a b c", nwords=10) == ["a b c"]
+
+
+def test_msmarco_eval():
+    from reranking_multimodal_retrievers_tpu.engine.utility import msmarco_eval
+
+    qid2ranking = {
+        "q1": [(10, 1), (11, 2), (12, 3)],   # first positive at rank 2
+        "q2": [(20, 1), (21, 2)],            # first positive at rank 1
+        "q3": [(30 + i, i + 1) for i in range(60)],  # positive at rank 15
+    }
+    qid2positives = {"q1": [11, 12], "q2": [20], "q3": [44],
+                     "q4": [99]}  # judged but never ranked
+    m = msmarco_eval(qid2ranking, qid2positives, recall_depths=(2, 50))
+    # MRR@10: q1 1/2, q2 1/1, q3 first positive at rank 15 > 10 -> 0, q4 0
+    assert m["mrr@10"] == pytest.approx((0.5 + 1.0) / 4)
+    assert m["mrr@10_ranked_only"] == pytest.approx((0.5 + 1.0) / 3)
+    # Recall@2: q1 got 1 of 2 positives, q2 1/1; q3 none within 2
+    assert m["recall@2"] == pytest.approx((0.5 + 1.0) / 4)
+    # Recall@50: q1 2/2 (ranks 2,3), q2 1/1, q3 1/1 at rank 15
+    assert m["recall@50"] == pytest.approx(3.0 / 4)
+    with pytest.raises(AssertionError):  # ranked qids must be judged
+        msmarco_eval({"qX": [(1, 1)]}, {"q1": [1]})
