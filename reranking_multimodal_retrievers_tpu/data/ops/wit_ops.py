@@ -564,10 +564,15 @@ class ConvertWITImagePixels(HFDatasetTransform):
         import hashlib
         import io
         import os
+        import sys
 
         import datasets
         from PIL import Image
 
+        # real WIT image_pixels shards carry base64 payloads far above csv's
+        # default 128 KB field cap (any raw image over ~98 KB); without this
+        # the reader raises _csv.Error outside the per-row skip path
+        csv.field_size_limit(sys.maxsize)
         os.makedirs(self.images_dir, exist_ok=True)
         saved, skipped = [], 0
         shards = sorted(

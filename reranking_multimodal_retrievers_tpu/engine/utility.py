@@ -281,7 +281,9 @@ def merge_rankings(rankings: Sequence[Dict]) -> Dict:
     pooled = defaultdict(list)
     for qid2ranking in rankings:
         for qid, rows in qid2ranking.items():
-            for pid, rank, score in rows:
+            # rows may carry trailing fields (e.g. 4-tuple (pid, rank,
+            # score, label) used elsewhere in this module) — ignore them
+            for pid, rank, score, *_ in rows:
                 pooled[qid].append((float(score), int(rank), pid))
     out = {}
     for qid, rows in pooled.items():
@@ -291,9 +293,20 @@ def merge_rankings(rankings: Sequence[Dict]) -> Dict:
     return out
 
 
-def split_ranking_by_offset(qid2ranking: Dict, nsplits: int) -> List[Dict]:
-    """`rankings/split_by_offset.py`: deal qids round-robin by position."""
+def split_ranking_by_offset(qid2ranking: Dict, nsplits: int,
+                            gap: int = 0) -> List[Dict]:
+    """`rankings/split_by_offset.py:19-24`: un-merge a ranking produced over
+    a gap-offset merged query set. With ``gap`` set, part index is
+    ``qid // gap - 1`` (the reference offsets merged splits by
+    ``(i+1)*gap``) and the emitted qid is remapped to ``qid % gap`` to
+    recover the original per-split ids. With ``gap=0`` (default) falls back
+    to a generic round-robin partition by dict position, which is NOT the
+    reference operation — use it only when qids carry no offset encoding."""
     parts = [dict() for _ in range(nsplits)]
+    if gap:
+        for qid, rows in qid2ranking.items():
+            parts[int(qid) // gap - 1][int(qid) % gap] = rows
+        return parts
     for i, (qid, rows) in enumerate(qid2ranking.items()):
         parts[i % nsplits][qid] = rows
     return parts

@@ -332,7 +332,12 @@ class RerankerExecutor(BaseExecutor):
             # reference-produced dump ({"output": [...]}, the layout
             # `src/tools/reduce_retrieval_result_file_size.py` pickles)
             if "predictions" in loaded or "output" in loaded:
-                for entry in loaded.get("predictions") or loaded["output"]:
+                # branch on key presence, not truthiness: a framework dump
+                # with an empty predictions list is valid and must not fall
+                # through to a KeyError on "output"
+                entries = (loaded["predictions"] if "predictions" in loaded
+                           else loaded["output"])
+                for entry in entries:
                     self.questionId2topPassages[str(entry["question_id"])] = entry[
                         "top_ranking_passages"
                     ]
@@ -380,11 +385,25 @@ class RerankerExecutor(BaseExecutor):
         content re-resolved from the passage corpus, as the reference does
         via its own ``passage_id2doc`` lookup."""
         docs = self.questionId2topPassages.get(str(question_id), [])
-        docs = [
-            d if "content" in d else {
-                **d, "content": self.id2doc.get(d["passage_id"], "")}
-            for d in docs[: self.docs_to_rerank]
-        ]
+        resolved = []
+        for d in docs[: self.docs_to_rerank]:
+            if "content" in d:
+                resolved.append(d)
+                continue
+            # reference dumps may carry int passage ids while the corpus is
+            # keyed by str (or vice versa) — normalize instead of silently
+            # handing the reranker an empty passage
+            pid = d["passage_id"]
+            content = self.id2doc.get(pid)
+            if content is None:
+                content = self.id2doc.get(str(pid))
+            if content is None:
+                logger.warning(
+                    "static-retrieval passage id %r absent from corpus; "
+                    "reranking it as empty text", pid)
+                content = ""
+            resolved.append({**d, "content": content})
+        docs = resolved
         while docs and len(docs) < self.docs_to_rerank:
             docs = docs + docs[: self.docs_to_rerank - len(docs)]
         return docs

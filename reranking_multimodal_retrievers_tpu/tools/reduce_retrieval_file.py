@@ -35,7 +35,12 @@ def reduce_retrieval_file(path: str, target: str | None = None,
     """
     with open(path) as f:
         data = json.load(f)
-    entries = data.get("output") or data.get("predictions") or data
+    if "output" in data:
+        entries = data["output"]
+    elif "predictions" in data:
+        entries = data["predictions"]
+    else:
+        entries = data
     for prediction in entries:
         for key in ("top_ranking_passages", "raw_top_ranking_passages"):
             if key not in prediction:

@@ -144,6 +144,28 @@ def test_ranking_splits_partition():
     assert set(by_q[0]) == {"q0", "q1"} and set(by_q[1]) == {"q5"}
 
 
+def test_split_ranking_by_offset_gap_unmerge():
+    # reference semantics: merged qid = original + (split_index+1)*gap;
+    # un-merge recovers split by qid // gap - 1 and original id by qid % gap
+    gap = 1000
+    merged = {
+        1000 + 7: [(1, 1, 0.9)],   # train q7
+        2000 + 7: [(2, 1, 0.8)],   # dev q7 (same original id, other split)
+        3000 + 42: [(3, 1, 0.7)],  # test q42
+    }
+    train, dev, test = split_ranking_by_offset(merged, 3, gap=gap)
+    assert train == {7: [(1, 1, 0.9)]}
+    assert dev == {7: [(2, 1, 0.8)]}
+    assert test == {42: [(3, 1, 0.7)]}
+
+
+def test_merge_rankings_tolerates_trailing_fields():
+    a = {"q": [(1, 1, 0.9, "label")]}
+    b = {"q": [(2, 1, 0.95, "other", 5)]}
+    merged = merge_rankings([a, b])
+    assert merged["q"] == [(2, 1, 0.95), (1, 2, 0.9)]
+
+
 def test_subsample_and_split_queries():
     qids = [f"q{i}" for i in range(20)]
     sub = subsample_queries(qids, sample=5, seed=1)
