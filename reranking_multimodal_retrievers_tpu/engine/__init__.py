@@ -1,6 +1,11 @@
 from .index import QuantizedTokenIndex, TokenIndex, encode_corpus
 from .search import Searcher, make_search_fn_int8, search_exhaustive
 from .rerank_eval import make_chunked_rerank_fn
+from .streaming import (
+    HostQuantizedTokenIndex,
+    HostTokenIndex,
+    StreamingSearcher,
+)
 
 __all__ = [
     "TokenIndex",
@@ -10,6 +15,9 @@ __all__ = [
     "search_exhaustive",
     "make_search_fn_int8",
     "make_chunked_rerank_fn",
+    "HostTokenIndex",
+    "HostQuantizedTokenIndex",
+    "StreamingSearcher",
 ]
 from .data import Queries, Collection, Ranking, Examples
 from .infra import EngineConfig, Provenance, Run

@@ -187,8 +187,17 @@ class RerankerExecutor(BaseExecutor):
         if self.reranker_family == "interaction" or "preflmr_attention_fusion" in self.modules:
             from ..models import FLMRModelForRetrieval
 
+            # model_config.retriever_flmr (optional) lets the FROZEN
+            # retriever differ from the reranker's own FLMR — the reference
+            # always pairs its rerankers with the same pretrained PreFLMR
+            # regardless of reranker architecture
+            # (`Reranker_base_executor.py:210-241`), e.g. a vision-enabled
+            # reranker biased by a text-only retriever's scores
+            r_mc = mc
+            if mc.get("retriever_flmr"):
+                r_mc = ConfigDict(dict(mc, flmr=mc["retriever_flmr"]))
             self.retriever_config = flmr_config_from(
-                mc,
+                r_mc,
                 query_tokenizer=self.tokenizers.get("tokenizer"),
                 context_tokenizer=self.tokenizers.get("decoder_tokenizer"),
             )

@@ -49,6 +49,15 @@ def fusion_attention_adj(scores, query_rows: int, context_rows: int,
     bottom_right = jnp.zeros((B, context_rows, context_rows), scores.dtype)
     upper_right = nn.softmax(jnp.swapaxes(scores, 1, 2), axis=-1)
     bottom_left = nn.softmax(scores, axis=-1)
+    # a frozen retriever with FEWER query tokens than the reranker (e.g. a
+    # text-only retriever biasing a vision-enabled reranker) speaks for only
+    # its own tokens: the extra reranker query rows/cols get zero bias
+    q_ret = scores.shape[2]
+    assert q_ret <= query_rows, (q_ret, query_rows)
+    if q_ret < query_rows:
+        pad = query_rows - q_ret
+        upper_right = jnp.pad(upper_right, ((0, 0), (0, pad), (0, 0)))
+        bottom_left = jnp.pad(bottom_left, ((0, 0), (0, 0), (0, pad)))
     top = jnp.concatenate([upper_left, upper_right], axis=2)
     bottom = jnp.concatenate([bottom_left, bottom_right], axis=2)
     return jnp.concatenate([top, bottom], axis=1) * fusion_multiplier

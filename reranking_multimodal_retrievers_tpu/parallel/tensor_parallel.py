@@ -57,20 +57,45 @@ def _path_names(path) -> Sequence[str]:
 
 
 def partition_spec(path, leaf) -> P:
-    """The TP PartitionSpec for one parameter (or optimizer-moment) leaf."""
+    """The TP PartitionSpec for one parameter (or optimizer-moment) leaf.
+
+    The owning module is the nearest ancestor that classifies as column- or
+    row-parallel, looking through the ``base`` level that ``LoRADense`` /
+    ``_LoRAKernels`` nest their frozen kernel under — so the rule covers the
+    plain FLMR/BERT/ViT trees AND the LoRA-wrapped OPT-2.7b / Flan-T5-XL
+    decoder rerankers (`models/{opt,t5}.py`), whose q/v projections carry
+    ``{q_proj,v}/base/kernel`` + ``lora_a``/``lora_b`` leaves.
+    """
     names = _path_names(path)
-    parent = names[-2] if len(names) >= 2 else ""
     kind = names[-1]
     ndim = getattr(leaf, "ndim", 0)
-    if parent in _COLUMN:
+    owner = ""
+    for name in reversed(names[:-1]):
+        if name == "base":  # LoRADense/_LoRAKernels nesting level
+            continue
+        owner = name
+        break
+    if owner in _COLUMN:
         if kind == "kernel" and ndim == 2:
             return P(None, MODEL_AXIS)
         if kind == "bias" and ndim == 1:
             return P(MODEL_AXIS)
-    if parent in _ROW:
+        if kind == "lora_b" and ndim == 2:
+            # B: [r, out] — out dim sharded with the base kernel; A ([in, r])
+            # stays replicated (r is tiny)
+            return P(None, MODEL_AXIS)
+    if owner in _ROW:
         if kind == "kernel" and ndim == 2:
             return P(MODEL_AXIS, None)
+        if kind == "lora_a" and ndim == 2:
+            # A: [in, r] — in dim sharded with the base kernel; B replicated
+            return P(MODEL_AXIS, None)
         # row-parallel bias: replicated, added after the all-reduce
+    if owner == "relative_attention_bias" and kind == "embedding" and ndim == 2:
+        # T5 position bias: [buckets, heads] — heads sharded with the
+        # column-parallel QKV so the [B, heads, L, L] bias joins the
+        # already-sharded attention logits without a resharding collective
+        return P(None, MODEL_AXIS)
     return P()
 
 

@@ -1,0 +1,173 @@
+"""Multimodal synthetic-task accuracy demonstration (VERDICT r2 #1).
+
+Puts VISION in the learning loop: the answer-bearing signal lives in the
+query IMAGE (a deterministic color-grid key; `data/ops/synthetic_ops.py`,
+``visual_key`` mode), while the query text names only the candidate group —
+so text-only models are information-theoretically stuck at
+``K / group_size`` PRRecall@K and any margin above that is vision learning.
+
+Two demonstrations, mirroring the reference's two vision pathways:
+
+A. **Vision improves retrieval** (`modeling_flmr.py:1285-1360`, the ViT→MLP
+   prefix + transformer mapping network): the visual-key words sit in the
+   passage HEAD (inside the retriever's doc budget). Train FLMR twice on the
+   SAME data — ``use_vision_encoder: true`` vs text-only — and compare
+   PRRecall@5 over the 500 unseen test queries.
+
+B. **Vision-reading rerankers beat the raw order**
+   (`rerank_model.py:227-319`): the visual-key words sit in the passage TAIL
+   (beyond the retriever's budget), so raw retrieval is blind inside the
+   group; a text-only retriever mines static top-100 lists, then
+   FullContextRerankModel and the spliced RerankModel + attention fusion —
+   both consuming ``query_pixel_values`` — are trained on retrieved docs and
+   must lift PRRecall@5 over raw.
+
+Usage: python tools/synth_vision_run.py [--quick] [--stage A|B|all]
+Run from the repo root with no JAX env overrides → real TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from reranking_multimodal_retrievers_tpu.cli.main import main  # noqa: E402
+
+
+def run(args_list):
+    rc = main(args_list)
+    assert rc == 0, f"CLI failed ({rc}): {args_list}"
+
+
+def latest_version(exp_name: str) -> str:
+    base = os.path.join("experiments", exp_name)
+    versions = sorted(
+        (d for d in os.listdir(base) if d.startswith("version_")),
+        key=lambda d: int(d.split("_")[1]),
+    )
+    return os.path.join(base, versions[-1])
+
+
+def resolve_ckpt(exp_dir: str) -> str:
+    from reranking_multimodal_retrievers_tpu.training.checkpointing import (
+        CheckpointManager,
+    )
+
+    ckpt = CheckpointManager(os.path.join(exp_dir, "ckpts")).resolve()
+    assert ckpt, f"no checkpoint under {exp_dir}/ckpts"
+    return ckpt
+
+
+def make_train_split_config(base_config: str, name: str) -> str:
+    """Variant whose test loader serves the TRAIN queries (static mining)."""
+    cfg = json.load(open(base_config))
+    ds_cfg = cfg["data_pipeline"]["transforms"]["output:PrepareDataloaders"][
+        "setup_kwargs"]["datasets_config"]
+    ds_cfg["test"][0]["split"] = "train"
+    cfg["meta"]["experiment_name"] = name
+    os.makedirs("cache", exist_ok=True)
+    path = f"cache/_generated_{name}.json"
+    json.dump(cfg, open(path, "w"), indent=2)
+    return path
+
+
+def test_metrics(exp_dir: str) -> dict:
+    dump = json.load(open(os.path.join(exp_dir,
+                                       "test_predictions_rank_0.json")))
+    return dump["metrics"]
+
+
+def stage_a(quick: bool):
+    epochs = "1" if quick else "16"
+    results = {}
+    for exp in ("synth_flmr_vision", "synth_flmr_vision_textonly"):
+        run(["--config", f"configs/{exp}.json", "--mode", "train",
+             "--opts", f"train.trainer_paras.max_epochs={epochs}"])
+        d = latest_version(exp)
+        run(["--config", f"configs/{exp}.json", "--mode", "test",
+             "--opts", f"meta.experiment_dir='{d}'"])
+        m = test_metrics(d)
+        results[exp] = m["pos_item_ids_recall_at_5"]
+        print(f"[vision A] {exp}: R@5={results[exp]:.4f} "
+              f"(R@1={m['pos_item_ids_recall_at_1']:.4f})")
+    mm = results["synth_flmr_vision"]
+    to = results["synth_flmr_vision_textonly"]
+    print(f"[vision A] multimodal R@5 {mm:.4f} vs text-only {to:.4f} "
+          f"delta {mm - to:+.4f}")
+    if not quick:
+        assert mm > to + 0.1, "vision did not improve retrieval"
+    return results
+
+
+def stage_b(quick: bool):
+    flmr_ep = "1" if quick else "12"
+    rr_ep = "1" if quick else "6"
+    static_path = "experiments/synth_static_retrieval_vision.json"
+    if quick:
+        static_path = static_path.replace(".json", "_quick.json")
+
+    # 1. text retriever over the tail-mode corpus
+    run(["--config", "configs/synth_flmr_vtail.json", "--mode", "train",
+         "--opts", f"train.trainer_paras.max_epochs={flmr_ep}"])
+    flmr_dir = latest_version("synth_flmr_vtail")
+    run(["--config", "configs/synth_flmr_vtail.json", "--mode", "test",
+         "--opts", f"meta.experiment_dir='{flmr_dir}'"])
+    ckpt = resolve_ckpt(flmr_dir)
+    tcfg = make_train_split_config("configs/synth_flmr_vtail.json",
+                                   "synth_flmr_vtail_trainsplit")
+    run(["--config", tcfg, "--mode", "test",
+         "--opts", f"test.load_model_path='{ckpt}'"])
+    train_dir = latest_version("synth_flmr_vtail_trainsplit")
+
+    static = {}
+    for d in (flmr_dir, train_dir):
+        dump = json.load(open(os.path.join(d, "test_predictions_rank_0.json")))
+        for entry in dump["predictions"]:
+            static[str(entry["question_id"])] = entry["top_ranking_passages"]
+    with open(static_path, "w") as f:
+        json.dump(static, f)
+    print(f"[vision B] static retrieval for {len(static)} queries -> "
+          f"{static_path}")
+
+    # 2. vision rerankers over the static lists
+    static_opt = f"model_config.retrieve_result_path='{static_path}'"
+    results = {}
+    for exp in ("synth_rerank_full_context_vision",
+                "synth_rerank_fusion_vision"):
+        extra = []
+        if "fusion" in exp:
+            extra = [f"model_config.retriever_model_path='{ckpt}'"]
+        run(["--config", f"configs/{exp}.json", "--mode", "train",
+             "--opts", f"train.trainer_paras.max_epochs={rr_ep}",
+             static_opt, *extra])
+        rr_dir = latest_version(exp)
+        run(["--config", f"configs/{exp}.json", "--mode", "test",
+             "--opts", f"meta.experiment_dir='{rr_dir}'", static_opt, *extra])
+        m = test_metrics(rr_dir)
+        r5, raw5 = m["recall_at_5"], m["raw_recall_at_5"]
+        results[exp] = (r5, raw5)
+        print(f"[vision B] {exp} PRRecall@5 rerank={r5:.4f} raw={raw5:.4f} "
+              f"delta={r5 - raw5:+.4f}")
+        if not quick:
+            assert r5 > raw5 + 0.1, f"{exp} did not beat raw by a margin"
+    return results
+
+
+def main_driver():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--stage", choices=["A", "B", "all"], default="all")
+    args = ap.parse_args()
+    if args.stage in ("A", "all"):
+        stage_a(args.quick)
+    if args.stage in ("B", "all"):
+        stage_b(args.quick)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main_driver())
