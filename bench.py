@@ -40,7 +40,17 @@ def bench_rerank_int8():
     return bench_rerank(quantize_int8=True)
 
 
-def bench_rerank(quantize_int8: bool = False):
+def bench_rerank_L():
+    """monoPreFLMR-L: the same rerank workload with the ViT-L/14 vision
+    encoder (24×1024, 257 patch tokens — PreFLMR's B→L difference is the
+    vision tower; the ColBERT text encoder stays BERT-base,
+    `LinWeizheDragon/PreFLMR_ViT-L` ↔
+    `configs/Rerank/OKVQA/Encoder/monoPreFLMR-L_pointwise.jsonnet:5`).
+    Baseline: 2.58 s/query on A100 (BASELINE.md latency table)."""
+    return bench_rerank(vision_scale="L")
+
+
+def bench_rerank(quantize_int8: bool = False, vision_scale: str = "B"):
     import jax
     import jax.numpy as jnp
 
@@ -77,9 +87,16 @@ def bench_rerank(quantize_int8: bool = False):
     bert_kw = dict(use_flash_attention=flash, attention_scores_bf16=scores_bf16,
                    gelu_approximate=gelu_tanh, use_pallas_attention=pallas_attn,
                    quantize_int8=quantize_int8)
+    if vision_scale == "L":
+        vision_cfg = CLIPVisionConfig(  # ViT-L/14 (257 patch tokens)
+            hidden_size=1024, intermediate_size=4096, num_hidden_layers=24,
+            num_attention_heads=16, image_size=224, patch_size=14,
+        )
+    else:
+        vision_cfg = CLIPVisionConfig()  # ViT-B/32
     flmr = FLMRConfig(
         text_config=BertConfig(**bert_kw),  # BERT-base
-        vision_config=CLIPVisionConfig(),  # ViT-B/32
+        vision_config=vision_cfg,
         dim=128,
         mapping_network_prefix_length=32,
         use_transformer_mapping_network=True,
@@ -618,6 +635,188 @@ def bench_retrieval_int8():
     return B / best
 
 
+def bench_train_step():
+    """Contrastive FLMR training throughput at full model scale (steps/s →
+    examples/s) — the reference's hot training loop
+    (`FLMR_base_executor.py:407-464`): BERT-base text encoder + ViT-B/32
+    vision + transformer mapping network, dim-128 late interaction, frozen
+    vision tower (the reference's PreFLMR recipe), AdamW, in-batch negatives
+    over the global batch. Also reports XLA's own FLOP estimate / wall-clock
+    as achieved TFLOPS (stderr)."""
+    import jax
+    import jax.numpy as jnp
+
+    from reranking_multimodal_retrievers_tpu.models import (
+        FLMRConfig, FLMRModelForRetrieval,
+    )
+    from reranking_multimodal_retrievers_tpu.models.bert import BertConfig
+    from reranking_multimodal_retrievers_tpu.models.vit import CLIPVisionConfig
+    from reranking_multimodal_retrievers_tpu.training import (
+        TrainState, make_optimizer, make_train_step,
+    )
+
+    B = int(os.environ.get("BENCH_TRAIN_B", 16))
+    nway, Lq, Ld, img = 2, 32, 256, 224
+    cfg = FLMRConfig(
+        text_config=BertConfig(),
+        vision_config=CLIPVisionConfig(),
+        dim=128,
+        mapping_network_prefix_length=32,
+        use_transformer_mapping_network=True,
+        transformer_mapping_num_hidden_layers=1,
+    )
+    model = FLMRModelForRetrieval(cfg)
+    rng = np.random.default_rng(0)
+    batch = dict(
+        query_input_ids=jnp.asarray(
+            rng.integers(1000, 29000, size=(B, Lq)), jnp.int32),
+        query_attention_mask=jnp.ones((B, Lq), jnp.int32),
+        query_pixel_values=jnp.asarray(
+            rng.normal(size=(B, 3, img, img)), jnp.float32),
+        context_input_ids=jnp.asarray(
+            rng.integers(1000, 29000, size=(B * nway, Ld)), jnp.int32),
+        context_attention_mask=jnp.ones((B * nway, Ld), jnp.int32),
+    )
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+    tx, _ = make_optimizer(
+        params, optimizer_name="AdamW", lr=1e-5, mapping_network_lr=1e-4,
+        scheduler="linear", num_warmup_steps=10, num_training_steps=1000,
+        frozen_patterns=("vision_encoder",),
+        group_patterns=("vision_projection", "transformer_mapping"),
+    )
+    step = make_train_step(
+        lambda p, **kw: model.apply({"params": p}, **kw), tx,
+        loss_key="ib_loss")
+    state = TrainState.create(params, tx)
+
+    def run(iters):
+        nonlocal state
+        m = None
+        for _ in range(iters):
+            state, m = step(state, batch)
+        return m["total_loss"]
+
+    dt = _slope_timed(run, n_long=6, n_short=1, repeats=2)
+    try:  # achieved TFLOPS from XLA's own cost model (fwd+bwd+adam)
+        lowered = jax.jit(step).lower(state, batch)
+        flops = lowered.compile().cost_analysis().get("flops", 0.0)
+        if flops:
+            print(json.dumps({
+                "metric": "flmr_train_step_achieved_tflops",
+                "value": round(flops / dt / 1e12, 1),
+                "unit": "TFLOPS (XLA cost-model FLOPs / measured step time)",
+            }), file=sys.stderr, flush=True)
+    except Exception:
+        pass
+    return B / dt  # query examples (each with nway docs) per second
+
+
+def bench_plaid():
+    """Compressed (PLAID-role) two-stage retrieval, measured (VERDICT r2 #6):
+    the `engine/plaid.py` path on the same 100k×256 corpus as
+    ``bench_retrieval`` — q/s, index HBM bytes vs the bf16 exact index, and
+    top-100 recall against the exact scan (the reference's
+    `index_storage.py:86-184` role). Emits the HBM/recall line on stderr."""
+    import jax
+    import jax.numpy as jnp
+
+    from reranking_multimodal_retrievers_tpu.engine.codec import compress
+    from reranking_multimodal_retrievers_tpu.engine.plaid import (
+        CompressedSearcher,
+    )
+    from reranking_multimodal_retrievers_tpu.engine.search import make_search_fn
+
+    N = int(os.environ.get("BENCH_RETR_N", 100_000))
+    Ld, Lq, dim, B, k = 256, 96, 128, int(os.environ.get("BENCH_RETR_B", 32)), 100
+
+    @jax.jit
+    def build(key):
+        D = jax.random.normal(key, (N, Ld, dim), jnp.bfloat16)
+        return D / jnp.linalg.norm(
+            D.astype(jnp.float32), axis=-1, keepdims=True).astype(jnp.bfloat16)
+
+    D = build(jax.random.PRNGKey(0))
+    M = jnp.ones((N, Ld), bool)
+    Q = jnp.asarray(np.random.default_rng(1).normal(size=(B, Lq, dim)),
+                    jnp.float32)
+
+    # exact ground truth (same corpus, in HBM)
+    exact = make_search_fn(mesh=None, n_padded_docs=N, k=k, unpadded=True)
+    _, idx_exact = exact(Q.astype(jnp.bfloat16), D, M)
+    idx_exact = np.asarray(idx_exact)
+
+    cidx = compress(D, np.ones((N, Ld), bool), [str(i) for i in range(N)])
+    bf16_bytes = N * Ld * dim * 2
+    ratio = bf16_bytes / cidx.nbytes()
+    D.delete()
+
+    searcher = CompressedSearcher(cidx, k=k, n_candidates=1024)
+    vals, ids = searcher.search(Q)  # compile
+    recall = float(np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / k
+        for a, b in zip(ids, idx_exact)
+    ]))
+    print(json.dumps({
+        "metric": "compressed_index_hbm_and_recall",
+        "value": round(ratio, 2),
+        "unit": (f"× HBM saving vs bf16 exact index ({cidx.nbytes()/2**30:.2f}"
+                 f" vs {bf16_bytes/2**30:.2f} GiB, 100k docs); top-100 recall"
+                 f" vs exact = {recall:.4f} (n_candidates=1024)"),
+    }), file=sys.stderr, flush=True)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        v2, _ = searcher.search(Q)
+        best = min(best, time.perf_counter() - t0)
+    return B / best
+
+
+def bench_streaming_int8():
+    """Beyond-HBM exact retrieval at 1M docs (VERDICT r2 #3): int8 host-RAM
+    token index (32.8 GB — 2× one v5e's HBM even quantized) streamed through
+    HBM in double-buffered slabs (`engine/streaming.py`), exact cross-slab
+    top-k. Transfer-bound by physics: the full index crosses the host link
+    once per query batch, so q/s ≈ link_GB/s / index_GB × batch — the
+    measured number exposes this host link's real bandwidth. Streamed
+    results are pinned bit-identical to the in-HBM scan
+    (tests/test_streaming.py + the 40k-doc real-chip check)."""
+    import jax
+
+    from reranking_multimodal_retrievers_tpu.engine.streaming import (
+        HostQuantizedTokenIndex, StreamingSearcher,
+    )
+
+    N = int(os.environ.get("BENCH_STREAM_N", 1_000_000))
+    Ld, Lq, dim, B, k = 256, 96, 128, int(os.environ.get("BENCH_STREAM_B", 256)), 100
+    slab = 16384
+    rng = np.random.default_rng(0)
+    # one random slab tiled across the corpus: scoring cost is
+    # value-independent and every slab still crosses the host link
+    block = rng.integers(-127, 128, size=(slab, Ld, dim)).astype(np.int8)
+    reps = -(-N // slab)
+    codes = np.broadcast_to(block, (reps, slab, Ld, dim)).reshape(
+        reps * slab, Ld, dim)[:N]
+    codes = np.ascontiguousarray(codes)  # real host pages, not a view
+    scales = (rng.random(N).astype(np.float32) + 0.5) / 127.0
+    host = HostQuantizedTokenIndex(codes=codes, scales=scales, mask=None,
+                                   doc_ids=None)
+    Q = rng.normal(size=(B, Lq, dim)).astype(np.float32)
+    searcher = StreamingSearcher(host, k=k, slab_docs=slab)
+    searcher.search(Q[:8])  # compile both slab programs + merge
+    t0 = time.perf_counter()
+    vals, idx = searcher.search(Q)
+    dt = time.perf_counter() - t0
+    gbps = codes.nbytes / dt / 2**30
+    print(json.dumps({
+        "metric": "streaming_retrieval_host_link_gbps",
+        "value": round(gbps, 2),
+        "unit": (f"GiB/s sustained host->HBM during the 1M-doc streamed scan"
+                 f" ({codes.nbytes/2**30:.1f} GiB int8 index, {dt:.1f}s/batch)"),
+    }), file=sys.stderr, flush=True)
+    return B / dt
+
+
 def main():
 
     t_start = time.perf_counter()
@@ -660,6 +859,13 @@ def main():
              bench_blip2_decoder_int8, 100 / 9.52, 3600),
             ("monoPreFLMR_B_int8_rerank_candidates_per_sec",
              bench_rerank_int8, A100_BASELINE_CAND_PER_SEC, 4200),
+            ("monoPreFLMR_L_rerank_candidates_per_sec",
+             bench_rerank_L, 100 / 2.58, 4800),
+            ("flmr_train_examples_per_sec", bench_train_step, None, 5400),
+            ("compressed_retrieval_queries_per_sec_100k_corpus",
+             bench_plaid, None, 6000),
+            ("streaming_retrieval_1M_int8_queries_per_sec",
+             bench_streaming_int8, None, 6600),
         ):
             if time.perf_counter() - t_start > budget_s:
                 print(f"{name} skipped: bench time budget", file=sys.stderr)
@@ -674,6 +880,22 @@ def main():
                     line["unit"] = ("queries/s/chip (exact top-100 MaxSim, "
                                     f"100k docs x 256 tokens, {prec} HBM "
                                     "index)")
+                elif name == "flmr_train_examples_per_sec":
+                    line["unit"] = ("query examples/s/chip (contrastive FLMR "
+                                    "train step, BERT-base + ViT-B/32 + "
+                                    "mapping network, 2-way docs x 256 tok, "
+                                    "AdamW)")
+                elif name.startswith("compressed_retrieval"):
+                    line["unit"] = ("queries/s/chip (two-stage compressed "
+                                    "PLAID-role search, 100k docs x 256 "
+                                    "tokens — HBM/recall on the companion "
+                                    "stderr line)")
+                elif name.startswith("streaming_retrieval"):
+                    line["unit"] = ("queries/s/chip (EXACT top-100 over a "
+                                    "1M-doc x 256-token int8 HOST-RAM index "
+                                    "streamed through HBM — transfer-bound; "
+                                    "companion line reports the host link "
+                                    "GiB/s)")
                 else:
                     prec = "int8 W8A8" if "int8" in name else "bf16"
                     line["unit"] = f"candidates/s/chip (full model scale, {prec})"

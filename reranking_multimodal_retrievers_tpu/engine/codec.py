@@ -52,47 +52,83 @@ def compress(
     num_centroids: int = 256,
     sample_size: int = 65536,
     seed: int = 0,
+    token_chunk: int = 1 << 21,
 ) -> CompressedTokenIndex:
     """Train centroids on a token sample, assign all tokens, quantize
     residuals (the reference's ``train`` + ``compress`` phases,
-    `collection_indexer.py:264-320` + `residual.py:188-240`)."""
-    emb = np.asarray(embeddings, np.float32)
+    `collection_indexer.py:264-320` + `residual.py:188-240`).
+
+    Assignment/quantization run in ``token_chunk``-sized slabs (two passes:
+    codes + running per-dim residual max, then quantize) so the transient
+    [tokens, num_centroids] score block never exceeds one slab — a 100k-doc
+    × 256-token corpus would otherwise materialize a 26 GB block on device.
+    """
+    on_device = isinstance(embeddings, jax.Array)
     msk = np.asarray(mask, bool)
-    N, L, D = emb.shape
-    flat = emb.reshape(-1, D)
+    N, L, D = embeddings.shape
+    NT = N * L
+    flat = embeddings.reshape(-1, D)  # device reshape is free; np is a view
     valid = msk.reshape(-1)
     rng = np.random.default_rng(seed)
     pool = np.flatnonzero(valid)
     take = rng.choice(pool, size=min(sample_size, len(pool)), replace=False)
-    centroids, _ = train_centroids(flat[take], k=num_centroids, seed=seed)
+    if on_device:
+        sample = np.asarray(jax.device_get(flat[jnp.asarray(take)]),
+                            np.float32)
+    else:
+        sample = np.asarray(flat, np.float32)[take]
+    centroids, _ = train_centroids(sample, k=num_centroids, seed=seed)
+    cent_j = jnp.asarray(centroids)
 
-    codes, residuals, scales = _assign_and_quantize(
-        jnp.asarray(flat), jnp.asarray(centroids), jnp.asarray(valid)
-    )
+    def chunk(a, s, e):
+        # device input slices on device; host input ships one slab at a time
+        return a[s:e] if on_device else jnp.asarray(
+            np.asarray(a[s:e], np.float32))
+
+    code_chunks, run_max = [], jnp.zeros((D,), jnp.float32)
+    bounds = [(s, min(s + token_chunk, NT))
+              for s in range(0, NT, token_chunk)]
+    for s, e in bounds:
+        c, m = _assign_chunk(chunk(flat, s, e), cent_j,
+                             jnp.asarray(valid[s:e]))
+        code_chunks.append(c)
+        run_max = jnp.maximum(run_max, m)
+    scales = jnp.maximum(run_max, 1e-8) / 127.0
+    resid_chunks = [
+        _quantize_chunk(chunk(flat, s, e), cent_j, c, scales)
+        for (s, e), c in zip(bounds, code_chunks)
+    ]
+    codes = (code_chunks[0] if len(code_chunks) == 1
+             else jnp.concatenate(code_chunks))
+    residuals = (resid_chunks[0] if len(resid_chunks) == 1
+                 else jnp.concatenate(resid_chunks))
     return CompressedTokenIndex(
-        centroids=jnp.asarray(centroids),
-        codes=jnp.asarray(np.asarray(codes).reshape(N, L)),
-        residuals=jnp.asarray(np.asarray(residuals).reshape(N, L, D)),
-        scales=jnp.asarray(scales),
+        centroids=cent_j,
+        codes=codes.reshape(N, L),
+        residuals=residuals.reshape(N, L, D),
+        scales=scales,
         mask=jnp.asarray(msk),
         doc_ids=list(doc_ids),
     )
 
 
 @jax.jit
-def _assign_and_quantize(flat, centroids, valid):
+def _assign_chunk(flat, centroids, valid):
+    """(codes, per-dim max |residual| over valid tokens) for one slab."""
+    flat = flat.astype(jnp.float32)
     scores = jnp.einsum("nd,kd->nk", flat, centroids,
                         preferred_element_type=jnp.float32)
     codes = jnp.argmax(scores, axis=1).astype(jnp.int32)
     resid = flat - centroids[codes]
-    # per-dim scales over VALID tokens only: a padding row is a zero vector
-    # whose residual is -centroids[argmax(0)] (unit-normalized magnitude),
-    # which would inflate the int8 step far beyond the real residual spread
-    # and coarsen every genuine token's reconstruction
     resid_for_scale = jnp.where(valid[:, None], jnp.abs(resid), 0.0)
-    scales = jnp.maximum(jnp.max(resid_for_scale, axis=0), 1e-8) / 127.0
-    q = jnp.clip(jnp.round(resid / scales[None, :]), -127, 127).astype(jnp.int8)
-    return codes, q, scales
+    return codes, jnp.max(resid_for_scale, axis=0)
+
+
+@jax.jit
+def _quantize_chunk(flat, centroids, codes, scales):
+    resid = flat.astype(jnp.float32) - centroids[codes]
+    return jnp.clip(jnp.round(resid / scales[None, :]),
+                    -127, 127).astype(jnp.int8)
 
 
 @jax.jit

@@ -29,17 +29,29 @@ from ..ops.maxsim import MASK_FILL_VALUE
 from .codec import CompressedTokenIndex
 
 
-@functools.partial(jax.jit, static_argnames=("n_candidates", "k", "chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_candidates", "k", "chunk",
+                                    "stage1_bf16"))
 def _two_stage_search(Q, codes, residuals, centroids, scales, mask,
-                      n_candidates: int, k: int, chunk: int):
+                      n_candidates: int, k: int, chunk: int,
+                      stage1_bf16: bool = True):
     B = Q.shape[0]
     N, L_d = codes.shape
 
     def chunk_scores(carry, blk):
         c_codes, c_res, c_mask = blk  # [C, L_d], [C, L_d, dim], [C, L_d]
         D = centroids[c_codes] + c_res.astype(jnp.float32) * scales  # fused
-        s = jnp.einsum("bqd,cld->bclq", Q.astype(jnp.float32), D,
-                       preferred_element_type=jnp.float32)
+        # stage 1 only PICKS candidates — bf16 contraction (fp32 accumulate)
+        # rides the MXU's double-rate path; stage 2 re-scores the winners at
+        # fp32 exactly, so the final scores/order are unaffected for any
+        # candidate that stage 1 keeps (recall pinned in the bench/tests)
+        if stage1_bf16:
+            s = jnp.einsum("bqd,cld->bclq", Q.astype(jnp.bfloat16),
+                           D.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        else:
+            s = jnp.einsum("bqd,cld->bclq", Q.astype(jnp.float32), D,
+                           preferred_element_type=jnp.float32)
         s = jnp.where(c_mask[None, :, :, None], s, MASK_FILL_VALUE)
         return carry, jnp.sum(jnp.max(s, axis=2), axis=-1)
 
@@ -74,7 +86,8 @@ class CompressedSearcher:
     """Search a :class:`CompressedTokenIndex` (PLAID-role two-stage)."""
 
     def __init__(self, index: CompressedTokenIndex, k: int = 100,
-                 n_candidates: int = 1024, chunk: int = 256):
+                 n_candidates: int = 1024, chunk: int = 256,
+                 stage1_bf16: bool = True):
         self.index = index
         self.k = k
         N = index.codes.shape[0]
@@ -83,6 +96,7 @@ class CompressedSearcher:
         while N % c:
             c -= 1
         self.chunk = c
+        self.stage1_bf16 = stage1_bf16
 
     def search(self, Q) -> Tuple[np.ndarray, np.ndarray]:
         idx = self.index
@@ -92,5 +106,6 @@ class CompressedSearcher:
             n_candidates=self.n_candidates,
             k=min(self.k, self.n_candidates),
             chunk=self.chunk,
+            stage1_bf16=self.stage1_bf16,
         )
         return np.asarray(vals), np.asarray(ids)

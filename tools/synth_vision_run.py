@@ -157,15 +157,46 @@ def stage_b(quick: bool):
     return results
 
 
+def stage_c():
+    """Index-mode accuracy bounds (VERDICT r2 #4 / #7): re-test the trained
+    tail-corpus retriever through (i) the int8 QuantizedTokenIndex exact scan
+    and (ii) the compressed (PLAID-role) two-stage path, against the fp32
+    exact baseline from stage B — end-to-end PRRecall deltas on a trained
+    checkpoint, real chip, 30k passages × 500 unseen queries. Ground-truth
+    branch parity: `FLMR_base_executor.py:918-991` (exhaustive)."""
+    flmr_dir = latest_version("synth_flmr_vtail")
+    ckpt = resolve_ckpt(flmr_dir)
+    base = test_metrics(flmr_dir)
+    results = {"exact_fp": {k: base[k] for k in base
+                            if k.startswith("pos_item_ids_recall")}}
+    for mode, exp in (("use_int8_index", "synth_flmr_vtail_int8idx"),
+                      ("use_compressed_search", "synth_flmr_vtail_plaid")):
+        run(["--config", "configs/synth_flmr_vtail.json", "--mode", "test",
+             "--opts", f"meta.experiment_name='{exp}'",
+             f"test.load_model_path='{ckpt}'",
+             f"model_config.modules=['{mode}']"])
+        m = test_metrics(latest_version(exp))
+        results[mode] = {k: m[k] for k in m
+                         if k.startswith("pos_item_ids_recall")}
+        for K in (5, 10, 50):
+            key = f"pos_item_ids_recall_at_{K}"
+            print(f"[index modes] {mode} R@{K}={m[key]:.4f} "
+                  f"(exact fp {base[key]:.4f}, "
+                  f"delta {m[key] - base[key]:+.4f})")
+    return results
+
+
 def main_driver():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--stage", choices=["A", "B", "all"], default="all")
+    ap.add_argument("--stage", choices=["A", "B", "C", "all"], default="all")
     args = ap.parse_args()
     if args.stage in ("A", "all"):
         stage_a(args.quick)
     if args.stage in ("B", "all"):
         stage_b(args.quick)
+    if args.stage in ("C", "all"):
+        stage_c()
     return 0
 
 
