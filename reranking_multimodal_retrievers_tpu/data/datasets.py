@@ -180,9 +180,23 @@ class CommonDatasetForDPR(BaseDataset):
         negative_source = (
             sample.get("source_name") if self.use_self_negatives else None
         )
+        # row-level hard-negative pool (DPR-style mined negatives — the
+        # reference's OKVQA DPR rows carry the same idea as retrieved
+        # non-gold passages, `dpr_datasets.py:140-168`): when the row names
+        # candidate negative ids, sample from THEM instead of the corpus,
+        # falling back to corpus draws if the pool can't fill the quota
+        hard_pool = [
+            n for n in (sample.get("neg_item_ids") or [])
+            if n not in pos_set and n in self.passages["id2doc"]
+        ] if self.passages else []
         negs = []
         rejections = 0
         while len(negs) < self.num_negative_samples:
+            if hard_pool:
+                cand = hard_pool.pop(
+                    self.rng.randrange(len(hard_pool)))
+                negs.append(cand)
+                continue
             cand = self.rng.choice(self._all_ids)
             if cand in pos_set:
                 continue

@@ -92,6 +92,7 @@ class GenerateSyntheticM2KR(HFDatasetTransform):
         visual_colors: int = 16,
         images_dir: str = None,
         image_size: int = 32,
+        emit_group_negatives: bool = False,
         **kwargs,
     ):
         self.num_pairs = num_pairs
@@ -109,6 +110,14 @@ class GenerateSyntheticM2KR(HFDatasetTransform):
         self.visual_colors = visual_colors
         self.images_dir = images_dir
         self.image_size = image_size
+        # hard negatives: each query row lists its other group members as
+        # `neg_item_ids`, so DPR sampling draws SAME-GROUP negatives (the
+        # text-identical ones only the image separates) instead of random
+        # corpus passages that the query text alone already rules out —
+        # without this, the contrastive loss barely needs the image
+        assert not (emit_group_negatives and not visual_key), (
+            "group negatives exist only in visual-key mode")
+        self.emit_group_negatives = emit_group_negatives
         return self
 
     # palette: 3 intensity levels per channel = 27 well-separated RGB colors
@@ -193,9 +202,11 @@ class GenerateSyntheticM2KR(HFDatasetTransform):
             return [f"p{j}v{c:02d}" for j, c in enumerate(combo)]
 
         passage_ids, passage_contents = [], []
-        rows = {k: [] for k in (
-            "question_id", "question", "instruction", "img_path", "answers",
-            "gold_answer", "pos_item_ids", "source_name")}
+        row_keys = ["question_id", "question", "instruction", "img_path",
+                    "answers", "gold_answer", "pos_item_ids", "source_name"]
+        if self.emit_group_negatives:
+            row_keys.append("neg_item_ids")
+        rows = {k: [] for k in row_keys}
 
         def fill(n: int) -> List[str]:
             return [fillers[i] for i in rng.integers(0, len(fillers), size=n)]
@@ -234,9 +245,13 @@ class GenerateSyntheticM2KR(HFDatasetTransform):
             if self.visual_key:
                 combo = pos_combos[qi]
                 pos_id = add_passage(A, None, combo=combo)
-                for _ in range(self.group_size - 1):
+                group_negs = [
                     add_passage(A, None, combo=dis_combos[
                         int(rng.integers(0, len(dis_combos)))])
+                    for _ in range(self.group_size - 1)
+                ]
+                if self.emit_group_negatives:
+                    rows["neg_item_ids"].append(group_negs)
                 img_path = ""
                 if self.images_dir:
                     img_path = os.path.join(self.images_dir, f"sq{qi}.png")

@@ -114,3 +114,32 @@ def test_visual_mode_group_structure(tmp_path):
         A = row["question"].split()[-1]
         members = [by_pid[f"sp{qi * group + j}"] for j in range(group)]
         assert all(A in m.split() for m in members)
+
+
+def test_group_negatives_emitted_and_sampled(tmp_path):
+    dd = _gen(visual_key="head", visual_digits=3, visual_colors=8,
+              images_dir=str(tmp_path), emit_group_negatives=True)
+    group = 5
+    for split in ("train", "test"):
+        for qi, row in enumerate(dd[split]):
+            negs = row["neg_item_ids"]
+            assert len(negs) == group - 1
+            assert row["pos_item_ids"][0] not in negs
+
+    # the DPR dataset must draw negatives from the row's hard pool
+    from reranking_multimodal_retrievers_tpu.data.datasets import (
+        CommonDatasetForDPR,
+    )
+
+    id2doc = dict(zip(dd["train_passages"]["passage_id"],
+                      dd["train_passages"]["passage_content"]))
+    ds = CommonDatasetForDPR(
+        {}, dd["train"], {}, passages={"id2doc": id2doc},
+        num_negative_samples=2,
+    )
+    for idx in range(5):
+        s = ds[idx]
+        pool = set(dd["train"][idx]["neg_item_ids"])
+        assert set(s["neg_item_ids"]) <= pool
+        assert len(s["neg_item_ids"]) == 2
+        assert s["pos_item_id"] == dd["train"][idx]["pos_item_ids"][0]
