@@ -1,0 +1,82 @@
+"""Run the test suite as N parallel pytest shards (VERDICT r2 weak #5).
+
+``pytest-xdist`` is not installed in this image, so this tool provides the
+same capability with the stdlib only: it partitions ``tests/test_*.py`` into
+N balanced shards (greedy by file size — a good proxy for runtime here,
+where wall-clock is dominated by per-module jit compiles) and runs one
+pytest subprocess per shard, streaming each shard's tail on failure.
+
+On a single-core host this degrades gracefully to roughly serial speed; the
+suite's single-core wall-clock is instead addressed by the persistent XLA
+compilation cache in ``tests/conftest.py`` (``cache/jax_compile_cache``),
+which removes the multi-second compiles on every warm re-run.
+
+Usage:
+    python tools/run_tests_sharded.py [-n N] [extra pytest args...]
+
+Exit code is non-zero if any shard fails.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import subprocess
+import sys
+
+
+def make_shards(files: list[str], n: int) -> list[list[str]]:
+    """Greedy size-balanced partition: largest file to the lightest shard."""
+    shards: list[list[str]] = [[] for _ in range(n)]
+    loads = [0] * n
+    for f in sorted(files, key=os.path.getsize, reverse=True):
+        i = loads.index(min(loads))
+        shards[i].append(f)
+        loads[i] += os.path.getsize(f)
+    return [s for s in shards if s]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-n", type=int, default=os.cpu_count() or 1,
+                    help="number of parallel shards (default: CPU count)")
+    ap.add_argument("rest", nargs=argparse.REMAINDER,
+                    help="extra args passed through to pytest")
+    args = ap.parse_args()
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "tests", "test_*.py")))
+    if not files:
+        print("no test files found", file=sys.stderr)
+        return 2
+
+    shards = make_shards(files, max(1, args.n))
+    print(f"running {len(files)} test files in {len(shards)} shards")
+
+    procs = []
+    logs = []
+    for i, shard in enumerate(shards):
+        log = open(os.path.join(root, f".pytest_shard_{i}.log"), "w+")
+        cmd = [sys.executable, "-m", "pytest", "-q", *shard, *args.rest]
+        procs.append(subprocess.Popen(cmd, cwd=root, stdout=log,
+                                      stderr=subprocess.STDOUT))
+        logs.append(log)
+
+    failed = False
+    for i, (p, log) in enumerate(zip(procs, logs)):
+        rc = p.wait()
+        log.seek(0)
+        tail = log.read().splitlines()[-15:]
+        log.close()
+        os.unlink(log.name)
+        status = "ok" if rc == 0 else f"FAILED rc={rc}"
+        print(f"[shard {i}] {status}: {tail[-1] if tail else ''}")
+        if rc != 0:
+            failed = True
+            print("\n".join(tail), file=sys.stderr)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
