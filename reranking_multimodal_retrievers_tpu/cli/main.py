@@ -58,14 +58,33 @@ def _apply_platform_env():
     import os
 
     plat = os.environ.get("RMRT_PLATFORM")
-    if not plat:
-        return
-    import jax
+    if plat:
+        import jax
 
-    try:
-        jax.config.update("jax_platforms", plat)
-    except Exception:  # already initialized — leave whatever platform is live
-        pass
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # already initialized — leave the live platform
+            pass
+
+    # Persistent XLA compilation cache: CLI runs are dominated by the first
+    # jit of the train/eval programs (minutes through the TPU tunnel's remote
+    # compile service); caching compiled executables on disk makes repeated
+    # experiment launches near-instant to warm up. Same mechanism the test
+    # suite uses (tests/conftest.py). Opt out with RMRT_COMPILE_CACHE=0.
+    if os.environ.get("RMRT_COMPILE_CACHE", "1") != "0":
+        import jax
+
+        cache_dir = os.environ.get(
+            "RMRT_COMPILE_CACHE_DIR",
+            os.path.join("cache", "jax_compile_cache"))
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.2)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        except Exception:  # read-only FS or pre-initialized config
+            pass
 
 
 def main(argv=None):

@@ -47,6 +47,53 @@ from .flmr_executor import flmr_config_from
 logger = logging.getLogger(__name__)
 
 
+def warm_start_from_retriever(params, retriever_params):
+    """Copy shared FLMR-backbone subtrees from a trained retriever checkpoint
+    into a freshly-initialized reranker param tree.
+
+    The reference never trains a monoPreFLMR reranker from scratch: its
+    ``RerankModel`` splices the encoders of a PRETRAINED PreFLMR
+    (`Reranker_base_executor.py:185-242`, ModelVersion =
+    "LinWeizheDragon/PreFLMR_ViT-B"; `rerank_model.py:88-101`) and only the
+    cross-encoder head + input mapping start fresh. The module names are
+    shared by construction (``context_text_encoder``,
+    ``context_vision_encoder``, ``context_vision_projection``,
+    ``transformer_mapping_*`` — `models/flmr.py:166-200` ↔
+    `models/rerankers/rerank_model.py:92-113`), so warm-starting is a
+    top-level key copy. Keys present in both trees must match exactly in
+    structure and leaf shapes (loud failure beats silently keeping random
+    weights); keys only in the reranker (cross-encoder head, input mapping)
+    keep their fresh init.
+
+    Returns (merged_params, restored_key_names).
+    """
+    import jax
+
+    merged = dict(params)
+    restored = []
+    for key in params:
+        if key not in retriever_params:
+            continue
+        sub, rsub = params[key], retriever_params[key]
+        want = jax.tree_util.tree_structure(sub)
+        got = jax.tree_util.tree_structure(rsub)
+        if want != got:
+            raise ValueError(
+                f"reranker backbone warm-start: submodule {key!r} tree "
+                "structure differs between the reranker's flmr config and "
+                "the retriever checkpoint")
+        shapes_ok = jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda a, b: a.shape == b.shape, sub, rsub))
+        if not shapes_ok:
+            raise ValueError(
+                f"reranker backbone warm-start: submodule {key!r} leaf "
+                "shapes differ between the reranker's flmr config and the "
+                "retriever checkpoint")
+        merged[key] = rsub
+        restored.append(key)
+    return merged, restored
+
+
 @register_executor
 class RerankerExecutor(BaseExecutor):
     # ------------------------------------------------------------ model
@@ -234,6 +281,24 @@ class RerankerExecutor(BaseExecutor):
             # classifier1/classifier2, which must keep their fresh init
             params = {**params, **self._bridged_decoder_params}
             self._bridged_decoder_params = None
+        bpath = self.config.get_path("model_config.reranker_backbone_path",
+                                     None)
+        if bpath:
+            # warm-start the spliced FLMR encoders from a trained retriever
+            # checkpoint — the reference's standing recipe (its rerankers
+            # always reuse a pretrained PreFLMR's encoders; only the
+            # cross-encoder head trains from scratch)
+            from ..training.checkpointing import CheckpointManager
+
+            restored_ckpt = CheckpointManager.restore(bpath)
+            rparams = restored_ckpt.get("params", restored_ckpt)
+            params, restored = warm_start_from_retriever(params, rparams)
+            if not restored:
+                raise ValueError(
+                    f"reranker_backbone_path {bpath}: no shared FLMR "
+                    "submodules found to warm-start")
+            logger.info("warm-started reranker backbone from %s: %s",
+                        bpath, restored)
         self._retriever_params = None
         if self.retriever is not None:
             img = self.retriever_config.vision_config.image_size

@@ -313,6 +313,16 @@ class BertEmbeddings(nn.Module):
             B, L = inputs_embeds.shape[:2]
         else:
             B, L = input_ids.shape
+        # Static-shape guard: flax's nn.Embed gathers with jnp.take, whose
+        # out-of-bounds mode FILLS WITH NaN — a sequence longer than the
+        # position table would silently poison the whole model (as opposed
+        # to torch's loud IndexError). Fail at trace time instead.
+        if L > cfg.max_position_embeddings:
+            raise ValueError(
+                f"sequence length {L} exceeds max_position_embeddings "
+                f"{cfg.max_position_embeddings}; for rerankers remember the "
+                "appended vision tokens (mapping prefix + ViT patches) count "
+                "toward the cross-encoder's position budget")
         if position_ids is None:
             position_ids = jnp.arange(L)[None, :]
         if token_type_ids is None:

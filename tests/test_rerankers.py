@@ -263,3 +263,54 @@ def test_negative_sampling_honors_explicit_labels():
     _, default_labels = prepare_logits_labels(
         "negative_sampling", logits, logits, B, n_neg)
     assert default_labels.tolist() == [0, 0]
+
+
+def test_warm_start_from_retriever(rerank_batch):
+    """Backbone warm-start (reference recipe: rerankers splice a pretrained
+    PreFLMR's encoders, `Reranker_base_executor.py:185-242`): shared FLMR
+    submodules copy over, reranker-only heads keep their fresh init, and a
+    shape mismatch fails loudly."""
+    from reranking_multimodal_retrievers_tpu.executors.reranker_executor import (
+        warm_start_from_retriever,
+    )
+    from reranking_multimodal_retrievers_tpu.models import FLMRModelForRetrieval
+
+    batch, B, n_neg = rerank_batch
+    cfg = RerankConfig.tiny()
+    model = RerankModel(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), **batch, num_negative_examples=n_neg
+    )["params"]
+
+    retriever = FLMRModelForRetrieval(cfg.flmr)
+    rbatch = dict(
+        query_input_ids=batch["query_input_ids"],
+        query_attention_mask=batch["query_attention_mask"],
+        query_pixel_values=batch["query_pixel_values"],
+        context_input_ids=batch["context_input_ids"],
+        context_attention_mask=batch["context_attention_mask"],
+    )
+    rparams = retriever.init(jax.random.PRNGKey(7), **rbatch)["params"]
+
+    merged, restored = warm_start_from_retriever(params, rparams)
+    assert "context_text_encoder" in restored
+    assert "context_vision_encoder" in restored
+    assert "transformer_mapping_network" in restored
+    # copied subtree == retriever values
+    got = jax.tree_util.tree_leaves(merged["context_text_encoder"])
+    want = jax.tree_util.tree_leaves(rparams["context_text_encoder"])
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    # reranker-only head untouched
+    assert "reranker" not in restored
+    got = jax.tree_util.tree_leaves(merged["reranker"])
+    orig = jax.tree_util.tree_leaves(params["reranker"])
+    for g, o in zip(got, orig):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(o))
+
+    # shape mismatch raises
+    bad = jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape + (1,), a.dtype), rparams
+    )
+    with pytest.raises(ValueError):
+        warm_start_from_retriever(params, bad)

@@ -133,14 +133,21 @@ def stage_b(quick: bool):
     print(f"[vision B] static retrieval for {len(static)} queries -> "
           f"{static_path}")
 
-    # 2. vision rerankers over the static lists
+    # 2. vision rerankers over the static lists, FLMR encoders warm-started
+    # from the stage-A vision retriever — the reference's standing recipe
+    # (rerankers splice a PRETRAINED PreFLMR, never train encoders from
+    # scratch, `Reranker_base_executor.py:185-242`); from-scratch training
+    # underfits the visual circuit at these step counts (measured: 0.07 vs
+    # raw 0.232 after 750 from-scratch steps)
+    backbone = resolve_ckpt(latest_version("synth_flmr_vision"))
     static_opt = f"model_config.retrieve_result_path='{static_path}'"
+    backbone_opt = f"model_config.reranker_backbone_path='{backbone}'"
     results = {}
     for exp in ("synth_rerank_full_context_vision",
                 "synth_rerank_fusion_vision"):
-        extra = []
+        extra = [backbone_opt]
         if "fusion" in exp:
-            extra = [f"model_config.retriever_model_path='{ckpt}'"]
+            extra.append(f"model_config.retriever_model_path='{ckpt}'")
         run(["--config", f"configs/{exp}.json", "--mode", "train",
              "--opts", f"train.trainer_paras.max_epochs={rr_ep}",
              static_opt, *extra])
