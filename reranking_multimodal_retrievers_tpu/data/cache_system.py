@@ -65,3 +65,24 @@ def cache_exists(name: str, cache_dir: str) -> bool:
     return os.path.isdir(os.path.join(cache_dir, name + ".hf")) or os.path.exists(
         os.path.join(cache_dir, name + ".pkl")
     )
+
+
+def dummy_scoped_path(path: str) -> str:
+    """Redirect a side-artifact path into the dummy cache namespace.
+
+    Dataset cache entries are already dummy-isolated (``cache/dummy/...``,
+    mirroring the reference's split at `data_pipeline.py:42-43`), but
+    transforms that write SIDE artifacts to config-fixed paths (synthetic
+    vocab files, key images) would otherwise clobber the real artifacts when
+    a ``--use_dummy_data`` run regenerates them with dummy-sized content —
+    silently invalidating every checkpoint trained against the real vocab.
+    ``cache/X/y`` maps to ``cache/dummy/X/y``; any other path is placed under
+    ``cache/dummy/`` verbatim (minus a leading separator).
+    """
+    norm = path.replace(os.sep, "/")
+    if norm.startswith("cache/"):
+        rest = norm[len("cache/"):]
+        if rest.startswith("dummy/"):
+            return path
+        return os.path.join("cache", "dummy", rest)
+    return os.path.join("cache", "dummy", norm.lstrip("/"))

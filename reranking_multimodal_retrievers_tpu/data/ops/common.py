@@ -29,6 +29,14 @@ def build_tokenizer(tk_config, use_dummy_data=False):
 
     cls = tk_config.get("TokenizerClass", "FLMRQueryTokenizer")
     version = tk_config.get("TokenizerModelVersion")
+    if use_dummy_data and version:
+        # match the generator-side redirect (synthetic vocabs live under
+        # cache/dummy/ in dummy mode so they never clobber real artifacts)
+        from ..cache_system import dummy_scoped_path
+
+        scoped = dummy_scoped_path(version)
+        if os.path.exists(scoped) or not os.path.exists(version):
+            version = scoped
     kwargs = {
         k: v
         for k, v in tk_config.items()

@@ -154,6 +154,16 @@ class GenerateSyntheticM2KR(HFDatasetTransform):
             self.num_pairs = min(self.num_pairs, 24)
             self.num_test = min(self.num_test, 8)
             self.group_size = min(self.group_size, 4)
+            # dummy runs must never clobber the real side artifacts: the
+            # dummy vocab/images differ in content (dummy-sized pools), and
+            # overwriting the shared paths silently invalidates every
+            # checkpoint trained against the real vocab
+            from ..cache_system import dummy_scoped_path
+
+            if self.vocab_path:
+                self.vocab_path = dummy_scoped_path(self.vocab_path)
+            if self.images_dir:
+                self.images_dir = dummy_scoped_path(self.images_dir)
 
         rng = np.random.default_rng(self.seed)
         head_keys = [f"a{i:04d}" for i in range(self.num_pairs)]

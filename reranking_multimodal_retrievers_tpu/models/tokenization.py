@@ -229,8 +229,25 @@ def write_test_vocab(path: str, words: Optional[List[str]] = None) -> str:
     # add ##-continuations for all single chars so WordPiece never fails
     vocab += ["##" + c for c in chars]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(os.path.join(path), "w") as f:
-        f.write("\n".join(dict.fromkeys(vocab)))
+    content = "\n".join(dict.fromkeys(vocab))
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        if old != content:
+            # overwriting a vocab with different content shifts token ids —
+            # every checkpoint trained against the old file is invalidated.
+            # Legitimate when regenerating a task at a new size; fatal when
+            # two tasks accidentally share a vocab path. Be loud either way.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "write_test_vocab: OVERWRITING %s with different content "
+                "(%d -> %d entries); checkpoints trained against the old "
+                "vocab are invalidated", path,
+                len(old.splitlines()), len(content.splitlines()),
+            )
+    with open(path, "w") as f:
+        f.write(content)
     return path
 
 

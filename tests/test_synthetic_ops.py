@@ -7,6 +7,8 @@ planted positive (the pseudo-relevance invariant the reference relies on,
 `metrics_processors.py:712`).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -143,3 +145,50 @@ def test_group_negatives_emitted_and_sampled(tmp_path):
         assert set(s["neg_item_ids"]) <= pool
         assert len(s["neg_item_ids"]) == 2
         assert s["pos_item_id"] == dd["train"][idx]["pos_item_ids"][0]
+
+
+def test_dummy_run_never_clobbers_real_side_artifacts(tmp_path, monkeypatch):
+    """A --use_dummy_data run regenerates dummy-sized vocab/images; writing
+    them to the REAL config paths silently invalidates every checkpoint
+    trained against the real vocab (observed: a dummy verify run shifted all
+    token ids under trained vtail checkpoints). Dummy side artifacts must be
+    scoped into cache/dummy/."""
+    monkeypatch.chdir(tmp_path)
+    vocab = "cache/synth_vocab/vocab.txt"
+    imgs = "cache/synth_imgs"
+
+    real = GenerateSyntheticM2KR()
+    real.use_dummy_data = False
+    kw = dict(num_pairs=40, num_test=10, group_size=5, head_len=12,
+              tail_len=10, num_distractor_keys=50, num_filler_words=30,
+              seed=3, visual_key="head", visual_digits=3, visual_colors=8,
+              vocab_path=vocab, images_dir=imgs)
+    real.setup(**kw)
+    real._call()
+    real_bytes = open(vocab).read()
+    real_img = sorted(os.listdir(imgs))[0]
+    real_img_bytes = open(os.path.join(imgs, real_img), "rb").read()
+
+    dummy = GenerateSyntheticM2KR()
+    dummy.use_dummy_data = True
+    dummy.setup(**kw)
+    dummy._call()
+
+    # real artifacts untouched; dummy copies live under cache/dummy/
+    assert open(vocab).read() == real_bytes
+    assert open(os.path.join(imgs, real_img), "rb").read() == real_img_bytes
+    assert os.path.exists("cache/dummy/synth_vocab/vocab.txt")
+    assert open("cache/dummy/synth_vocab/vocab.txt").read() != real_bytes
+
+    # the tokenizer builder follows the same redirect in dummy mode
+    from reranking_multimodal_retrievers_tpu.data.ops.common import (
+        build_tokenizer,
+    )
+
+    tk_real = build_tokenizer(
+        {"TokenizerClass": "BertTokenizerFast",
+         "TokenizerModelVersion": "cache/synth_vocab"})
+    tk_dummy = build_tokenizer(
+        {"TokenizerClass": "BertTokenizerFast",
+         "TokenizerModelVersion": "cache/synth_vocab"}, use_dummy_data=True)
+    assert tk_real.vocab_size != tk_dummy.vocab_size

@@ -25,12 +25,19 @@ def main():
     static_opt = f"model_config.retrieve_result_path='{static_path}'"
     backbone_opt = f"model_config.reranker_backbone_path='{backbone}'"
     results = {}
-    for exp in ("synth_rerank_full_context_vision",
-                "synth_rerank_fusion_vision"):
-        extra = ([f"model_config.retriever_model_path='{ckpt}'"]
+    exps = os.environ.get(
+        "RERUN_EXPS",
+        "synth_rerank_full_context_vision,synth_rerank_fusion_vision",
+    ).split(",")
+    for exp in exps:
+        # fusion's FROZEN retriever is the stage-A VISION FLMR: its MaxSim
+        # score matrix over (query text+image tokens) × context tokens is the
+        # attention bias — the image↔tail-key matches the raw text order is
+        # blind to (reference `rerank_model.py:276-319` semantics)
+        extra = ([f"model_config.retriever_model_path='{backbone}'"]
                  if "fusion" in exp else [])
         run(["--config", f"configs/{exp}.json", "--mode", "train",
-             "--opts", "train.trainer_paras.max_epochs=6", static_opt,
+             "--opts", "train.trainer_paras.max_epochs=12", static_opt,
              backbone_opt, *extra])
         rr_dir = latest_version(exp)
         run(["--config", f"configs/{exp}.json", "--mode", "test",
@@ -40,8 +47,11 @@ def main():
         results[exp] = (r5, raw5)
         print(f"[vision B] {exp} PRRecall@5 rerank={r5:.4f} raw={raw5:.4f} "
               f"delta={r5 - raw5:+.4f}")
-        assert r5 > raw5 + 0.1, f"{exp} did not beat raw by a margin"
     print(json.dumps({"stage_c": stage_c()}, indent=1))
+    failed = [e for e, (r5, raw5) in results.items() if r5 <= raw5 + 0.1]
+    if failed:
+        print(f"[vision B] below raw+0.1 margin: {failed}")
+        return 1
     return 0
 
 

@@ -105,7 +105,7 @@ def stage_a(quick: bool):
 
 def stage_b(quick: bool):
     flmr_ep = "1" if quick else "12"
-    rr_ep = "1" if quick else "6"
+    rr_ep = "1" if quick else "12"
     static_path = "experiments/synth_static_retrieval_vision.json"
     if quick:
         static_path = static_path.replace(".json", "_quick.json")
@@ -147,7 +147,9 @@ def stage_b(quick: bool):
                 "synth_rerank_fusion_vision"):
         extra = [backbone_opt]
         if "fusion" in exp:
-            extra.append(f"model_config.retriever_model_path='{ckpt}'")
+            # the FROZEN bias retriever is the VISION FLMR: its score matrix
+            # carries the image↔tail-key matches the raw order is blind to
+            extra.append(f"model_config.retriever_model_path='{backbone}'")
         run(["--config", f"configs/{exp}.json", "--mode", "train",
              "--opts", f"train.trainer_paras.max_epochs={rr_ep}",
              static_opt, *extra])
