@@ -50,11 +50,20 @@ def stage_reranker():
         "retrieval lists this reranker trains over)")
     exp = "synth_rerank_full_context_fullsize"
     static_opt = f"model_config.retrieve_result_path='{static_path}'"
+    # warm-start the spliced FLMR backbone from the stage-R full-size vision
+    # retriever — the reference's standing recipe (rerankers always splice a
+    # PRETRAINED PreFLMR, `Reranker_base_executor.py:185-242`); the head/tail
+    # vocabs are byte-identical (same deterministic word lists), so token
+    # ids align
+    from synth_vision_run import resolve_ckpt
+
+    backbone = resolve_ckpt(latest_version("synth_flmr_fullsize"))
+    backbone_opt = f"model_config.reranker_backbone_path='{backbone}'"
     run(["--config", f"configs/{exp}.json", "--mode", "train", "--opts",
-         static_opt])
+         static_opt, backbone_opt])
     d = latest_version(exp)
     run(["--config", f"configs/{exp}.json", "--mode", "test",
-         "--opts", f"meta.experiment_dir='{d}'", static_opt])
+         "--opts", f"meta.experiment_dir='{d}'", static_opt, backbone_opt])
     m = test_metrics(d)
     r5, raw5 = m["recall_at_5"], m["raw_recall_at_5"]
     print(f"[fullsize K] full-size vision reranker PRRecall@5 "
