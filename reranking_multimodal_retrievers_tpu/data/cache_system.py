@@ -79,7 +79,16 @@ def dummy_scoped_path(path: str) -> str:
     ``cache/X/y`` maps to ``cache/dummy/X/y``; any other path is placed under
     ``cache/dummy/`` verbatim (minus a leading separator).
     """
-    norm = path.replace(os.sep, "/")
+    # Normalize so every spelling of the same cache path ('cache/x',
+    # './cache/x', '/abs/cwd/cache/x') redirects identically (ADVICE r3):
+    # a generator and a consumer that spell the path differently must not
+    # end up with two different dummy locations.
+    norm = os.path.normpath(path)
+    if os.path.isabs(norm):
+        rel = os.path.relpath(norm, os.getcwd())
+        if not rel.startswith(".."):
+            norm = rel
+    norm = norm.replace(os.sep, "/")
     if norm.startswith("cache/"):
         rest = norm[len("cache/"):]
         if rest.startswith("dummy/"):

@@ -37,6 +37,17 @@ def build_tokenizer(tk_config, use_dummy_data=False):
         scoped = dummy_scoped_path(version)
         if os.path.exists(scoped) or not os.path.exists(version):
             version = scoped
+        else:
+            # Stale dummy dataset cache can skip the generator so the
+            # dummy-scoped side artifact was never written; falling back to
+            # the REAL vocab gives dummy runs inconsistent token ids across
+            # cache states (ADVICE r3) — say so loudly.
+            logger.warning(
+                "dummy mode: dummy-scoped vocab %s missing, falling back to "
+                "REAL vocab %s (delete cache/dummy to regenerate)",
+                scoped, version,
+            )
+        logger.info("dummy mode tokenizer vocab: %s", version)
     kwargs = {
         k: v
         for k, v in tk_config.items()

@@ -89,7 +89,12 @@ def warm_start_from_retriever(params, retriever_params):
                 f"reranker backbone warm-start: submodule {key!r} leaf "
                 "shapes differ between the reranker's flmr config and the "
                 "retriever checkpoint")
-        merged[key] = rsub
+        # Cast restored leaves to the init leaf's dtype so a checkpoint saved
+        # in another precision (e.g. bf16) can't splice mixed-precision
+        # subtrees into the fp32-initialized reranker params (ADVICE r3).
+        merged[key] = jax.tree_util.tree_map(
+            lambda a, b: b.astype(a.dtype) if b.dtype != a.dtype else b,
+            sub, rsub)
         restored.append(key)
     return merged, restored
 

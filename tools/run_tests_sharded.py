@@ -41,9 +41,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("-n", type=int, default=os.cpu_count() or 1,
                     help="number of parallel shards (default: CPU count)")
-    ap.add_argument("rest", nargs=argparse.REMAINDER,
-                    help="extra args passed through to pytest")
-    args = ap.parse_args()
+    # parse_known_args so option-like pass-through args (`-k foo`, `-q`)
+    # reach pytest instead of dying in argparse (ADVICE r3); a literal `--`
+    # separator also works and is stripped before forwarding.
+    args, rest = ap.parse_known_args()
+    if rest and rest[0] == "--":
+        rest = rest[1:]
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = sorted(glob.glob(os.path.join(root, "tests", "test_*.py")))
@@ -58,7 +61,7 @@ def main() -> int:
     logs = []
     for i, shard in enumerate(shards):
         log = open(os.path.join(root, f".pytest_shard_{i}.log"), "w+")
-        cmd = [sys.executable, "-m", "pytest", "-q", *shard, *args.rest]
+        cmd = [sys.executable, "-m", "pytest", "-q", *shard, *rest]
         procs.append(subprocess.Popen(cmd, cwd=root, stdout=log,
                                       stderr=subprocess.STDOUT))
         logs.append(log)
