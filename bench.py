@@ -817,8 +817,27 @@ def bench_streaming_int8():
     return B / dt
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache for the TPU programs (VERDICT r3
+    weak #1: BENCH_r03 was killed because the axon tunnel's remote compile
+    service was cold and the headline alone blew the budget — the test suite
+    solved the same problem with a disk cache in tests/conftest.py; this is
+    the same fix, in a separate directory because the TPU executables differ
+    from the CPU ones the tests produce)."""
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "cache",
+        "jax_compile_cache_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main():
 
+    _enable_compile_cache()
     t_start = time.perf_counter()
     cand_per_sec = bench_rerank()
     # the headline line prints FIRST (stdout) so a driver timeout during the
@@ -837,36 +856,47 @@ def main():
     # Secondary per-family lines (stderr — the driver's headline stays the
     # monoPreFLMR-B metric). Each is optional and individually fused.
     if os.environ.get("BENCH_SECONDARY", "1") == "1":
-        for name, fn, a100, budget_s in (
+        # Row order (VERDICT r3 weak #1): rows whose numbers have never been
+        # captured in any BENCH_r*.json run FIRST, directly after the
+        # headline, so a driver kill mid-sweep costs only re-measurements of
+        # already-proven rows (r1/r2 captured the trailing group).
+        # BENCH_FULL=0 skips the re-measurement group entirely.
+        full = os.environ.get("BENCH_FULL", "1") == "1"
+        rows = [
             # budgets are generous: first-compile time varies wildly with
             # the tunnel's remote compile service (60s warm, 10+ min after
             # a far-end restart); the headline line is already flushed, so
-            # a driver kill mid-secondary loses nothing
-            ("pallas_maxsim_tflops", bench_maxsim_kernel, None, 1000),
-            ("exact_retrieval_queries_per_sec_100k_corpus",
-             bench_retrieval, None, 1200),
-            ("exact_retrieval_int8_queries_per_sec_100k_corpus",
-             bench_retrieval_int8, None, 1400),
-            ("ModPreFLMR_BERT_interaction_rerank_candidates_per_sec",
-             bench_interaction, 100 / 0.24, 1500),
-            ("monoBLIP2_FlanT5XL_rerank_candidates_per_sec",
-             bench_blip2_decoder, 100 / 9.52, 1800),
-            ("monoBLIP2_Opt2.7b_rerank_candidates_per_sec",
-             bench_blip2_opt, 100 / 12.64, 2400),
-            ("monoBLIP2_Opt2.7b_int8_rerank_candidates_per_sec",
-             bench_blip2_opt_int8, 100 / 12.64, 3000),
-            ("monoBLIP2_FlanT5XL_int8_rerank_candidates_per_sec",
-             bench_blip2_decoder_int8, 100 / 9.52, 3600),
-            ("monoPreFLMR_B_int8_rerank_candidates_per_sec",
-             bench_rerank_int8, A100_BASELINE_CAND_PER_SEC, 4200),
+            # a driver kill mid-secondary loses nothing. The persistent
+            # compile cache (main() top) makes warm re-runs fit easily.
             ("monoPreFLMR_L_rerank_candidates_per_sec",
-             bench_rerank_L, 100 / 2.58, 4800),
-            ("flmr_train_examples_per_sec", bench_train_step, None, 5400),
+             bench_rerank_L, 100 / 2.58, 1500),
+            ("flmr_train_examples_per_sec", bench_train_step, None, 2100),
             ("compressed_retrieval_queries_per_sec_100k_corpus",
-             bench_plaid, None, 6000),
+             bench_plaid, None, 2700),
             ("streaming_retrieval_1M_int8_queries_per_sec",
-             bench_streaming_int8, None, 6600),
-        ):
+             bench_streaming_int8, None, 3300),
+        ]
+        if full:
+            rows += [
+                ("pallas_maxsim_tflops", bench_maxsim_kernel, None, 3600),
+                ("exact_retrieval_queries_per_sec_100k_corpus",
+                 bench_retrieval, None, 3900),
+                ("exact_retrieval_int8_queries_per_sec_100k_corpus",
+                 bench_retrieval_int8, None, 4200),
+                ("ModPreFLMR_BERT_interaction_rerank_candidates_per_sec",
+                 bench_interaction, 100 / 0.24, 4500),
+                ("monoPreFLMR_B_int8_rerank_candidates_per_sec",
+                 bench_rerank_int8, A100_BASELINE_CAND_PER_SEC, 4800),
+                ("monoBLIP2_FlanT5XL_rerank_candidates_per_sec",
+                 bench_blip2_decoder, 100 / 9.52, 5200),
+                ("monoBLIP2_Opt2.7b_rerank_candidates_per_sec",
+                 bench_blip2_opt, 100 / 12.64, 5600),
+                ("monoBLIP2_Opt2.7b_int8_rerank_candidates_per_sec",
+                 bench_blip2_opt_int8, 100 / 12.64, 6000),
+                ("monoBLIP2_FlanT5XL_int8_rerank_candidates_per_sec",
+                 bench_blip2_decoder_int8, 100 / 9.52, 6400),
+            ]
+        for name, fn, a100, budget_s in rows:
             if time.perf_counter() - t_start > budget_s:
                 print(f"{name} skipped: bench time budget", file=sys.stderr)
                 continue
