@@ -283,6 +283,17 @@ class FLMRExecutor(BaseExecutor):
     def current_params(self):
         if self._train_state is not None:
             return self._train_state.params
+        # Checkpoint-restored params are host (numpy) arrays; handing them to
+        # a jitted eval fn re-uploads the WHOLE tree through the device link
+        # on every call — at BERT-base scale through the TPU tunnel that is
+        # ~1.5 GB per index chunk, which turned the fullsize corpus encode
+        # into a multi-hour stall with unbounded client buffering. Pin the
+        # tree on device once; subsequent calls pass device handles.
+        import jax
+
+        leaves = jax.tree_util.tree_leaves(self.params)
+        if leaves and not isinstance(leaves[0], jax.Array):
+            self.params = jax.device_put(self.params)
         return self.params
 
     def build_index(self, id2doc=None) -> TokenIndex:

@@ -302,6 +302,11 @@ class RerankerExecutor(BaseExecutor):
                 raise ValueError(
                     f"reranker_backbone_path {bpath}: no shared FLMR "
                     "submodules found to warm-start")
+            # re-pin on device: the merged subtrees are host arrays from the
+            # checkpoint and would otherwise re-upload on every train step
+            import jax as _jax
+
+            params = _jax.device_put(params)
             logger.info("warm-started reranker backbone from %s: %s",
                         bpath, restored)
         self._retriever_params = None
@@ -341,7 +346,10 @@ class RerankerExecutor(BaseExecutor):
                     raise ValueError(
                         f"retriever_model_path {rpath}: checkpoint param tree "
                         "does not match model_config.flmr (frozen retriever)")
-                self._retriever_params = rparams
+                # device_put once — the frozen retriever runs inside every
+                # train/eval step, and a host-resident tree would re-upload
+                # per call (see FLMRExecutor.current_params)
+                self._retriever_params = _jax.device_put(rparams)
                 logger.info("loaded frozen retriever from %s", rpath)
         return params
 
@@ -741,7 +749,13 @@ class RerankerExecutor(BaseExecutor):
         from ..training.checkpointing import CheckpointManager
 
         restored = CheckpointManager.restore(path)
-        self.params = restored.get("params", restored)
+        # device_put once: restored host arrays fed straight to the jitted
+        # eval fns would re-upload the whole param tree per batch (see
+        # FLMRExecutor.current_params — at full model scale this stalls the
+        # rerank eval loop behind ~GBs of repeated device-link transfers)
+        import jax
+
+        self.params = jax.device_put(restored.get("params", restored))
         # optimizer state is rebuilt against tx.init in prepare_training —
         # stash the packed leaves until then
         self._restored_opt_state = restored.get("opt_state") if isinstance(restored, dict) else None
