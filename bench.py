@@ -102,10 +102,18 @@ def bench_rerank(quantize_int8: bool = False, vision_scale: str = "B"):
         use_transformer_mapping_network=True,
         transformer_mapping_num_hidden_layers=1,
     )
+    # ViT-L/14 appends 257 patch tokens + the 32-token mapping prefix to the
+    # 512-token text, so the joint sequence is ~800 — past the reference's
+    # 750-position truncation cap (`rerank_model.py` position clamp). Size
+    # the position table up instead of truncating: the TPU row then scores
+    # MORE tokens per candidate than the 2.58 s/query A100 baseline did,
+    # which keeps the vs_baseline ratio conservative.
     cfg = RerankConfig(
         flmr=flmr,
-        cross_encoder=BertConfig(num_hidden_layers=1, max_position_embeddings=768,
-                                 **bert_kw),
+        cross_encoder=BertConfig(
+            num_hidden_layers=1,
+            max_position_embeddings=1024 if vision_scale == "L" else 768,
+            **bert_kw),
         loss_fn="BCE",
         max_query_length=32,
         max_decoder_source_length=L,
@@ -745,10 +753,17 @@ def bench_plaid():
     _, idx_exact = exact(Q.astype(jnp.bfloat16), D, M)
     idx_exact = np.asarray(idx_exact)
 
-    cidx = compress(D, np.ones((N, Ld), bool), [str(i) for i in range(N)])
+    # compress from a HOST copy: keeping the 6.55 GB bf16 source in HBM
+    # while the chunked codec also materializes its 3.3 GB residual output
+    # (plus the per-chunk list during concat) OOMs a 16 GB v5e. The one-time
+    # 6.55 GB device->host pull is setup, not the timed region.
+    D_host = np.asarray(jax.device_get(D), np.float32).astype(np.float16)
+    D.delete()
+    cidx = compress(D_host, np.ones((N, Ld), bool),
+                    [str(i) for i in range(N)])
+    del D_host
     bf16_bytes = N * Ld * dim * 2
     ratio = bf16_bytes / cidx.nbytes()
-    D.delete()
 
     searcher = CompressedSearcher(cidx, k=k, n_candidates=1024)
     vals, ids = searcher.search(Q)  # compile
@@ -932,7 +947,23 @@ def main():
                     line["vs_baseline"] = round(val / a100, 2)
                 print(json.dumps(line), file=sys.stderr, flush=True)
             except Exception as e:  # secondary must never sink the headline
+                # clear the traceback's frame references FIRST: a row that
+                # OOMs otherwise keeps its device arrays alive through the
+                # exception object and every later row inherits a full HBM
+                # (observed: one plaid-row ResourceExhausted cascaded into
+                # 9 downstream skips)
+                import traceback as _tb
+                _tb.clear_frames(e.__traceback__)
                 print(f"{name} skipped: {e}", file=sys.stderr)
+            finally:
+                # hard-free whatever the row left on device: rows are
+                # self-contained, so any surviving jax.Array is a leak
+                import gc
+                import jax as _jax
+                gc.collect()
+                for _a in _jax.live_arrays():
+                    _a.delete()
+                gc.collect()
 
 
 if __name__ == "__main__":
