@@ -103,11 +103,12 @@ def bench_rerank(quantize_int8: bool = False, vision_scale: str = "B"):
         transformer_mapping_num_hidden_layers=1,
     )
     # ViT-L/14 appends 257 patch tokens + the 32-token mapping prefix to the
-    # 512-token text, so the joint sequence is ~800 — past the reference's
-    # 750-position truncation cap (`rerank_model.py` position clamp). Size
-    # the position table up instead of truncating: the TPU row then scores
-    # MORE tokens per candidate than the 2.58 s/query A100 baseline did,
-    # which keeps the vs_baseline ratio conservative.
+    # 512-token text, so the joint sequence is ~800. The reference's L-scale
+    # configs set cross_encoder_max_position_embeddings to 900 (750 is the
+    # B/monoBERT value), so the A100 baseline did NOT truncate this workload
+    # either — the comparison is equal per-candidate work. 1024 here just
+    # sizes the table past the ~800-row joint sequence (bert.py raises past
+    # the table size, unlike the reference's silent position clamp).
     cfg = RerankConfig(
         flmr=flmr,
         cross_encoder=BertConfig(
@@ -734,7 +735,13 @@ def bench_plaid():
     )
     from reranking_multimodal_retrievers_tpu.engine.search import make_search_fn
 
-    N = int(os.environ.get("BENCH_RETR_N", 100_000))
+    # 25k-doc measured point by default (VERDICT r4 next-step #1: the 100k
+    # point's host-side compress + 6.55 GiB device->host pull blew the
+    # driver's kill window two rounds running; the kernels are corpus-size-
+    # independent, so a smaller measured point + the scaling note in the
+    # unit string beats another rc=124). BENCH_PLAID_N=100000 restores the
+    # original point.
+    N = int(os.environ.get("BENCH_PLAID_N", 25_000))
     Ld, Lq, dim, B, k = 256, 96, 128, int(os.environ.get("BENCH_RETR_B", 32)), 100
 
     @jax.jit
@@ -753,15 +760,21 @@ def bench_plaid():
     _, idx_exact = exact(Q.astype(jnp.bfloat16), D, M)
     idx_exact = np.asarray(idx_exact)
 
-    # compress from a HOST copy: keeping the 6.55 GB bf16 source in HBM
-    # while the chunked codec also materializes its 3.3 GB residual output
-    # (plus the per-chunk list during concat) OOMs a 16 GB v5e. The one-time
-    # 6.55 GB device->host pull is setup, not the timed region.
-    D_host = np.asarray(jax.device_get(D), np.float32).astype(np.float16)
-    D.delete()
-    cidx = compress(D_host, np.ones((N, Ld), bool),
-                    [str(i) for i in range(N)])
-    del D_host
+    # At >=75k docs, compress from a HOST copy: keeping the 6.55 GB bf16
+    # source in HBM while the chunked codec also materializes its 3.3 GB
+    # residual output (plus the per-chunk list during concat) OOMs a 16 GB
+    # v5e. At the default 25k point both fit, so compress straight from the
+    # device array (no single-core host round-trip).
+    if N >= 75_000:
+        D_host = np.asarray(jax.device_get(D), np.float32).astype(np.float16)
+        D.delete()
+        cidx = compress(D_host, np.ones((N, Ld), bool),
+                        [str(i) for i in range(N)])
+        del D_host
+    else:
+        cidx = compress(D, np.ones((N, Ld), bool),
+                        [str(i) for i in range(N)])
+        D.delete()
     bf16_bytes = N * Ld * dim * 2
     ratio = bf16_bytes / cidx.nbytes()
 
@@ -775,8 +788,8 @@ def bench_plaid():
         "metric": "compressed_index_hbm_and_recall",
         "value": round(ratio, 2),
         "unit": (f"× HBM saving vs bf16 exact index ({cidx.nbytes()/2**30:.2f}"
-                 f" vs {bf16_bytes/2**30:.2f} GiB, 100k docs); top-100 recall"
-                 f" vs exact = {recall:.4f} (n_candidates=1024)"),
+                 f" vs {bf16_bytes/2**30:.2f} GiB, {N//1000}k docs); top-100"
+                 f" recall vs exact = {recall:.4f} (n_candidates=1024)"),
     }), file=sys.stderr, flush=True)
 
     best = float("inf")
@@ -788,9 +801,10 @@ def bench_plaid():
 
 
 def bench_streaming_int8():
-    """Beyond-HBM exact retrieval at 1M docs (VERDICT r2 #3): int8 host-RAM
-    token index (32.8 GB — 2× one v5e's HBM even quantized) streamed through
-    HBM in double-buffered slabs (`engine/streaming.py`), exact cross-slab
+    """Beyond-HBM exact retrieval (VERDICT r2 #3): an int8 host-RAM token
+    index larger than the HBM the searcher leaves free (8.2 GiB at the
+    default 250k-doc point; 32.8 GiB at BENCH_STREAM_N=1000000) streamed
+    through HBM in double-buffered slabs (`engine/streaming.py`), exact cross-slab
     top-k. Transfer-bound by physics: the full index crosses the host link
     once per query batch, so q/s ≈ link_GB/s / index_GB × batch — the
     measured number exposes this host link's real bandwidth. Streamed
@@ -802,7 +816,15 @@ def bench_streaming_int8():
         HostQuantizedTokenIndex, StreamingSearcher,
     )
 
-    N = int(os.environ.get("BENCH_STREAM_N", 1_000_000))
+    # 250k-doc measured point by default (VERDICT r4 next-step #1): the path
+    # is transfer-bound, so the companion GiB/s line is corpus-size-
+    # independent and the 1M/32.8-GiB q/s is derived from it in the unit
+    # string. Materializing + streaming the full 32.8 GiB index twice blew
+    # the driver's kill window two rounds running; BENCH_STREAM_N=1000000
+    # restores the original point. 250k x 256 x 128 int8 = 8.2 GiB, still
+    # larger than the ~6 GiB of HBM the searcher leaves free, so the
+    # streamed path (not a resident copy) is genuinely what is measured.
+    N = int(os.environ.get("BENCH_STREAM_N", 250_000))
     Ld, Lq, dim, B, k = 256, 96, 128, int(os.environ.get("BENCH_STREAM_B", 256)), 100
     slab = 16384
     rng = np.random.default_rng(0)
@@ -823,11 +845,14 @@ def bench_streaming_int8():
     vals, idx = searcher.search(Q)
     dt = time.perf_counter() - t0
     gbps = codes.nbytes / dt / 2**30
+    qps_1m = gbps / (1_000_000 * Ld * dim / 2**30) * B
     print(json.dumps({
         "metric": "streaming_retrieval_host_link_gbps",
         "value": round(gbps, 2),
-        "unit": (f"GiB/s sustained host->HBM during the 1M-doc streamed scan"
-                 f" ({codes.nbytes/2**30:.1f} GiB int8 index, {dt:.1f}s/batch)"),
+        "unit": (f"GiB/s sustained host->HBM during the {N//1000}k-doc"
+                 f" streamed scan ({codes.nbytes/2**30:.1f} GiB int8 index,"
+                 f" {dt:.1f}s/batch); size-independent (transfer-bound) =>"
+                 f" derived 1M-doc/32.8-GiB q/s at this link = {qps_1m:.1f}"),
     }), file=sys.stderr, flush=True)
     return B / dt
 
@@ -868,31 +893,33 @@ def main():
         ),
         flush=True,
     )
+    print(f"[bench] headline: {time.perf_counter() - t_start:.1f}s",
+          file=sys.stderr, flush=True)
     # Secondary per-family lines (stderr — the driver's headline stays the
     # monoPreFLMR-B metric). Each is optional and individually fused.
     if os.environ.get("BENCH_SECONDARY", "1") == "1":
-        # Row order (VERDICT r3 weak #1): rows whose numbers have never been
-        # captured in any BENCH_r*.json run FIRST, directly after the
-        # headline, so a driver kill mid-sweep costs only re-measurements of
-        # already-proven rows (r1/r2 captured the trailing group).
-        # BENCH_FULL=0 skips the re-measurement group entirely.
-        full = os.environ.get("BENCH_FULL", "1") == "1"
+        # Row order (VERDICT r3 weak #1 / r4 next-step #1): rows whose
+        # numbers have never been captured in any BENCH_r*.json run FIRST,
+        # directly after the headline. BENCH_FULL=1 adds the re-measurement
+        # group (rows already captured in r1/r2/r4); the DEFAULT run is now
+        # headline + the never-captured pair only, sized to finish well
+        # inside the driver's kill window even with a cold compile service
+        # (two consecutive rc=124 rounds proved the 13-row sweep does not
+        # fit).
+        full = os.environ.get("BENCH_FULL", "0") == "1"
+        plaid_n = int(os.environ.get("BENCH_PLAID_N", 25_000))
+        stream_n = int(os.environ.get("BENCH_STREAM_N", 250_000))
         rows = [
-            # budgets are generous: first-compile time varies wildly with
-            # the tunnel's remote compile service (60s warm, 10+ min after
-            # a far-end restart); the headline line is already flushed, so
-            # a driver kill mid-secondary loses nothing. The persistent
-            # compile cache (main() top) makes warm re-runs fit easily.
-            ("monoPreFLMR_L_rerank_candidates_per_sec",
-             bench_rerank_L, 100 / 2.58, 1500),
-            ("flmr_train_examples_per_sec", bench_train_step, None, 2100),
-            ("compressed_retrieval_queries_per_sec_100k_corpus",
-             bench_plaid, None, 2700),
-            ("streaming_retrieval_1M_int8_queries_per_sec",
-             bench_streaming_int8, None, 3300),
+            (f"compressed_retrieval_queries_per_sec_{plaid_n//1000}k_corpus",
+             bench_plaid, None, 1500),
+            (f"streaming_retrieval_{stream_n//1000}k_int8_queries_per_sec",
+             bench_streaming_int8, None, 2100),
         ]
         if full:
             rows += [
+                ("monoPreFLMR_L_rerank_candidates_per_sec",
+                 bench_rerank_L, 100 / 2.58, 2700),
+                ("flmr_train_examples_per_sec", bench_train_step, None, 3300),
                 ("pallas_maxsim_tflops", bench_maxsim_kernel, None, 3600),
                 ("exact_retrieval_queries_per_sec_100k_corpus",
                  bench_retrieval, None, 3900),
@@ -915,6 +942,7 @@ def main():
             if time.perf_counter() - t_start > budget_s:
                 print(f"{name} skipped: bench time budget", file=sys.stderr)
                 continue
+            t_row = time.perf_counter()
             try:
                 val = fn()
                 line = {"metric": name, "value": round(val, 1)}
@@ -932,20 +960,25 @@ def main():
                                     "AdamW)")
                 elif name.startswith("compressed_retrieval"):
                     line["unit"] = ("queries/s/chip (two-stage compressed "
-                                    "PLAID-role search, 100k docs x 256 "
-                                    "tokens — HBM/recall on the companion "
-                                    "stderr line)")
+                                    f"PLAID-role search, {plaid_n//1000}k "
+                                    "docs x 256 tokens — HBM/recall on the "
+                                    "companion stderr line; kernels are "
+                                    "corpus-size-independent)")
                 elif name.startswith("streaming_retrieval"):
                     line["unit"] = ("queries/s/chip (EXACT top-100 over a "
-                                    "1M-doc x 256-token int8 HOST-RAM index "
-                                    "streamed through HBM — transfer-bound; "
-                                    "companion line reports the host link "
-                                    "GiB/s)")
+                                    f"{stream_n//1000}k-doc x 256-token int8 "
+                                    "HOST-RAM index streamed through HBM — "
+                                    "transfer-bound; companion line reports "
+                                    "the host link GiB/s and the derived "
+                                    "1M-doc q/s)")
                 else:
                     prec = "int8 W8A8" if "int8" in name else "bf16"
                     line["unit"] = f"candidates/s/chip (full model scale, {prec})"
                     line["vs_baseline"] = round(val / a100, 2)
                 print(json.dumps(line), file=sys.stderr, flush=True)
+                print(f"[bench] {name}: {time.perf_counter() - t_row:.1f}s "
+                      f"(elapsed {time.perf_counter() - t_start:.1f}s)",
+                      file=sys.stderr, flush=True)
             except Exception as e:  # secondary must never sink the headline
                 # clear the traceback's frame references FIRST: a row that
                 # OOMs otherwise keeps its device arrays alive through the
@@ -954,10 +987,18 @@ def main():
                 # 9 downstream skips)
                 import traceback as _tb
                 _tb.clear_frames(e.__traceback__)
-                print(f"{name} skipped: {e}", file=sys.stderr)
+                print(f"{name} skipped after "
+                      f"{time.perf_counter() - t_row:.1f}s: {e}",
+                      file=sys.stderr)
             finally:
                 # hard-free whatever the row left on device: rows are
-                # self-contained, so any surviving jax.Array is a leak
+                # self-contained, so any surviving jax.Array is a leak.
+                # INVARIANT (advisor r4): no state crosses rows — every row
+                # rebuilds its own params/index/jitted fns. A future cached
+                # cross-row executable whose captured constants get deleted
+                # here would fail with 'Array has been deleted'; keep rows
+                # self-contained or snapshot live arrays before the row and
+                # delete only the delta.
                 import gc
                 import jax as _jax
                 gc.collect()

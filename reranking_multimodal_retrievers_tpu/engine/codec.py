@@ -76,7 +76,10 @@ def compress(
         sample = np.asarray(jax.device_get(flat[jnp.asarray(take)]),
                             np.float32)
     else:
-        sample = np.asarray(flat, np.float32)[take]
+        # sample FIRST, then convert: np advanced indexing copies only the
+        # sampled rows, where asarray(flat, fp32) would materialize a full
+        # fp32 copy of the corpus (~13 GiB at 100k x 256 x 128) on the host
+        sample = flat[take].astype(np.float32)
     centroids, _ = train_centroids(sample, k=num_centroids, seed=seed)
     cent_j = jnp.asarray(centroids)
 

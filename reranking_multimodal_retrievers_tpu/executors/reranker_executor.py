@@ -407,8 +407,17 @@ class RerankerExecutor(BaseExecutor):
         """Reference `:244-271`."""
         path = self.config.get_path("model_config.retrieve_result_path")
         self.questionId2topPassages: Dict[str, List[dict]] = {}
+        # transparent .gz fallback: large static-retrieval dumps are
+        # committed gzipped (git-friendly) while configs keep pointing at
+        # the plain path — a fresh checkout works without a manual gunzip
+        if path and not os.path.exists(path) and os.path.exists(path + ".gz"):
+            path = path + ".gz"
         if path and os.path.exists(path):
-            if path.endswith(".json"):
+            if path.endswith(".json.gz"):
+                import gzip
+                with gzip.open(path, "rt") as f:
+                    loaded = json.load(f)
+            elif path.endswith(".json"):
                 with open(path) as f:
                     loaded = json.load(f)
             else:

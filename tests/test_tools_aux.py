@@ -339,6 +339,34 @@ def test_init_retrieve_accepts_reference_output_format(tmp_path):
             "p3", "p1"]
 
 
+def test_init_retrieve_gzip_fallback(tmp_path):
+    """A config pointing at ``x.json`` transparently loads ``x.json.gz``
+    when only the gzipped dump exists (large static-retrieval lists are
+    committed gzipped — .gitignore note), and an explicit ``.json.gz``
+    path loads directly."""
+    import gzip
+    import json
+
+    from reranking_multimodal_retrievers_tpu.executors.reranker_executor import (
+        RerankerExecutor,
+    )
+
+    entries = {"q9": [{"passage_id": "p2", "score": 1.0},
+                      {"passage_id": "p5", "score": 0.5}]}
+    gz_path = tmp_path / "static.json.gz"
+    with gzip.open(gz_path, "wt") as f:
+        json.dump(entries, f)
+
+    for path in (tmp_path / "static.json", gz_path):  # fallback + explicit
+        ex = object.__new__(RerankerExecutor)
+        ex.config = ConfigDict(
+            {"model_config": {"retrieve_result_path": str(path)}})
+        ex.use_dummy_data = False
+        ex.init_retrieve()
+        assert [p["passage_id"] for p in ex.questionId2topPassages["q9"]] == [
+            "p2", "p5"]
+
+
 def test_static_retrieve_resolves_stripped_content():
     """Entries from reduced static files (no ``content``) are re-resolved
     from the passage corpus by static_retrieve."""

@@ -38,8 +38,13 @@ def main_driver():
     run(["--config", f"configs/{exp}.json", "--mode", "train",
          "--opts"] + opts)
     d = latest_version(exp)
+    # opts[:3] (advisor r4): include the loss_fn override in the test run so
+    # the test-time model matches training — BCE vs negative_sampling rank
+    # identically (both rank by head-1 logits), but a 2H_BCE checkpoint
+    # tested under the config-default BCE would silently score the wrong
+    # head if this pattern were copied.
     run(["--config", f"configs/{exp}.json", "--mode", "test",
-         "--opts", f"meta.experiment_dir='{d}'"] + opts[:2])
+         "--opts", f"meta.experiment_dir='{d}'"] + opts[:3])
     m = test_metrics(d)
     r5, raw5 = m["recall_at_5"], m["raw_recall_at_5"]
     print(f"[r4 K-retry] full-size vision reranker PRRecall@5 "
