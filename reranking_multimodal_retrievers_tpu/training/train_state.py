@@ -100,14 +100,23 @@ def make_train_step(
             jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)])
         )
         finite = jnp.logical_and(grads_finite, jnp.isfinite(loss))
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_params = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(finite, new, old), new_params, state.params
-        )
-        new_opt_state = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(finite, new, old), new_opt_state, state.opt_state
-        )
+
+        # Branch, don't blend: running tx.update unconditionally and
+        # select-ing old/new with jnp.where costs an extra read+write of
+        # every param AND adam-moment buffer on every (healthy) step —
+        # ~3x the optimizer phase's HBM traffic at BERT-base+ViT scale.
+        # lax.cond executes only the taken branch on TPU, so the hot path
+        # pays exactly one optimizer pass and the skip path pays nothing.
+        def do_update(_):
+            updates, new_opt_state = tx.update(
+                grads, state.opt_state, state.params)
+            return optax.apply_updates(state.params, updates), new_opt_state
+
+        def skip_update(_):
+            return state.params, state.opt_state
+
+        new_params, new_opt_state = jax.lax.cond(
+            finite, do_update, skip_update, None)
         new_state = TrainState(
             step=state.step + 1, params=new_params, opt_state=new_opt_state
         )

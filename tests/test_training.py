@@ -109,6 +109,41 @@ def test_train_step_reduces_loss_and_respects_freezing(setup):
     assert int(jax.device_get(state.step)) == 5
 
 
+def test_nan_batch_skips_update_then_recovers(setup):
+    """The NaN guard takes the lax.cond skip branch on a poisoned batch —
+    params AND opt state bit-unchanged, grads_finite=0, step still
+    increments — and the next healthy step trains normally (the guard's
+    contract: long runs survive a bad batch)."""
+    cfg, model, params, rng = setup
+    params = jax.tree_util.tree_map(jnp.copy, params)
+    tx, _ = make_optimizer(params, optimizer_name="AdamW", lr=1e-3,
+                           scheduler=None)
+    step = make_train_step(
+        lambda p, **kw: model.apply({"params": p}, **kw), tx, mesh=None,
+        loss_key="ib_loss",
+    )
+    state = TrainState.create(params, tx)
+    good = make_batch(rng, B=2)
+    bad = dict(good)
+    bad["query_pixel_values"] = good["query_pixel_values"].at[0, 0, 0, 0].set(
+        jnp.nan)
+    before = jax.device_get(state.params)
+    state, metrics = step(state, bad)
+    assert float(metrics["grads_finite"]) == 0.0
+    assert int(jax.device_get(state.step)) == 1
+    after = jax.device_get(state.params)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(after),
+            jax.tree_util.tree_leaves_with_path(before)):
+        np.testing.assert_array_equal(a, b, err_msg=jax.tree_util.keystr(pa))
+    state, metrics = step(state, good)
+    assert float(metrics["grads_finite"]) == 1.0
+    assert np.isfinite(float(metrics["total_loss"]))
+    changed = jax.tree_util.tree_map(
+        lambda a, b: bool(np.any(a != b)), jax.device_get(state.params), after)
+    assert any(jax.tree_util.tree_leaves(changed))
+
+
 def test_training_stays_finite_with_masked_rows(setup):
     """Regression: padded/skiplisted context tokens produce all-zero rows
     before L2 normalization; the naive normalize had a NaN gradient at zero
