@@ -2,14 +2,20 @@
 run (BCE, lr 1e-4, 6 epochs) beat raw order only weakly (R@5 0.282 vs
 0.232) with valid loss still falling at 750 steps. The small-scale winner
 (`experiments/synth_rerank_full_context_vision/version_0`, R@5 0.882) used
-negative_sampling at lr 3e-4 — rerun stage K with those hyperparameters
-and doubled epochs, warm-started from the same stage-R backbone.
+negative_sampling at lr 3e-4 — but at FULL size that lr collapses the
+BERT-base tower (round 5, measured: train AND valid loss pinned at
+ln(5)=1.6095 through step 500 of a 3e-4 run — constant logits, not slow
+convergence). The retry therefore keeps the negative_sampling loss and
+doubled epochs but the proven full-size lr 1e-4 (the BCE run converged
+there); --lr/--epochs expose the knobs.
 
-Usage: python tools/round4_stageK_retry.py   (repo root, real TPU)
+Usage: python tools/round4_stageK_retry.py [--lr 1e-4] [--epochs 12]
+       (repo root, real TPU)
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -25,6 +31,10 @@ STATIC_PATH = "experiments/synth_static_retrieval_vision.json"
 
 
 def main_driver():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--epochs", type=int, default=12)
+    args = ap.parse_args()
     t0 = time.time()
     exp = "synth_rerank_full_context_fullsize"
     backbone = resolve_ckpt(latest_version("synth_flmr_fullsize"))
@@ -32,8 +42,24 @@ def main_driver():
         f"model_config.retrieve_result_path='{STATIC_PATH}'",
         f"model_config.reranker_backbone_path='{backbone}'",
         "model_config.loss_fn='negative_sampling'",
-        "train.optimizer_config.optimizer_params.lr=0.0003",
-        "train.trainer_paras.max_epochs=12",
+        f"train.optimizer_config.optimizer_params.lr={args.lr}",
+        f"train.trainer_paras.max_epochs={args.epochs}",
+        # full rerank eval at every validation pass, so the checkpoint
+        # manager's monitor (pos_item_ids_recall_at_5, save_top_k=1) tracks
+        # a real ranking score and test-time resolve() restores the BEST
+        # epoch, not the last: the round-5 lr-1e-4 12-epoch run overfit
+        # (train loss 0.22, valid loss 1.13@500 -> 1.77@1000) and a
+        # loss-only validation left best unset, so the overfit final ckpt
+        # was scored (0.310). Reference role: Lightning ModelCheckpoint
+        # monitoring valid/pos_item_ids_recall_at_5.
+        "model_config.modules=['full_context_reranker',"
+        "'train_with_retrieved_docs','neg_sample_retrieved',"
+        "'full_validation']",
+        # validate every epoch (config default: every 2): the full-size
+        # model's generalization peaks early (valid loss bottomed between
+        # steps 250-500 of 1500), so best-ckpt selection needs the finer
+        # grid — each full-rerank validation costs ~1 min on the chip
+        "train.trainer_paras.check_val_every_n_epoch=1",
     ]
     run(["--config", f"configs/{exp}.json", "--mode", "train",
          "--opts"] + opts)
