@@ -169,6 +169,40 @@ def test_blip2_decoder_reranker_train_then_test(tmp_path):
     assert "recall_at_5" in dump["metrics"]
 
 
+def test_full_validation_drives_best_checkpoint_monitor(tmp_path):
+    """With the `full_validation` module flag, validation runs the full
+    rerank eval (not loss-only), the valid/recall metrics land in
+    metrics.jsonl, and the checkpoint index carries the monitored ranking
+    score so best-checkpoint resolution works (reference role: Lightning
+    ModelCheckpoint monitoring valid/pos_item_ids_recall_at_5 —
+    `Reranker_base_executor.py` fast vs full evaluate split)."""
+    rc = main([
+        "--config", "configs/okvqa_rerank_full_context.json", "--mode",
+        "train", "--use_dummy_data",
+        "--opts", *(_opts(tmp_path, "fv")),
+        "train.trainer_paras.max_epochs=1",
+        "train.trainer_paras.check_val_every_n_epoch=1",
+        "train.monitor='pos_item_ids_recall_at_5'",
+        "train.monitor_mode='max'",
+        "valid.trainer_paras.limit_val_batches=2",
+        "model_config.modules=['full_context_reranker',"
+        "'train_with_retrieved_docs','neg_sample_retrieved',"
+        "'full_validation']",
+    ])
+    assert rc == 0
+    exp_dir = str(tmp_path / "experiments" / "okvqa_rerank_full_context"
+                  / "version_0")
+    with open(os.path.join(exp_dir, "metrics.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    assert any("valid/pos_item_ids_recall_at_5" in r for r in rows)
+    with open(os.path.join(exp_dir, "ckpts", "index.json")) as f:
+        index = json.load(f)
+    assert index["checkpoints"], index
+    assert "pos_item_ids_recall_at_5" in index["checkpoints"][-1]["metrics"]
+    assert index["best"] is not None
+    assert index["best"]["score"] is not None
+
+
 def test_evqa_retrieve_then_rerank(tmp_path):
     """EVQA end-to-end (BASELINE.json configs[4]): FLMR retrieve → dump
     predictions → rerank the static retrieval with the cross-encoder →

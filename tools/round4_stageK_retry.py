@@ -60,6 +60,10 @@ def main_driver():
         # steps 250-500 of 1500), so best-ckpt selection needs the finer
         # grid — each full-rerank validation costs ~1 min on the chip
         "train.trainer_paras.check_val_every_n_epoch=1",
+        # ...and a real sample: the config's fast-validation default of 4
+        # batches (32 queries) quantizes R@5 in 1/32 steps — far too noisy
+        # to rank epochs by. 32 batches = 256 held-out queries.
+        "valid.trainer_paras.limit_val_batches=32",
     ]
     run(["--config", f"configs/{exp}.json", "--mode", "train",
          "--opts"] + opts)
