@@ -34,6 +34,16 @@ def main_driver():
     ap = argparse.ArgumentParser()
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--epochs", type=int, default=12)
+    # collapse mitigation (round 5, observed): whether a run escapes the
+    # constant-logits ln(5) basin in the first ~100 steps is stochastic —
+    # two 12-epoch runs at lr 1e-4 escaped, a 24-epoch run at the same lr
+    # collapsed (the longer linear decay holds lr marginally higher early).
+    # A longer warmup flattens exactly that window; a seed knob decorrelates
+    # retries.
+    ap.add_argument("--warmup", type=int, default=None,
+                    help="override train warmup steps (config default 50)")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="override meta.seed (config default 42)")
     args = ap.parse_args()
     t0 = time.time()
     exp = "synth_rerank_full_context_fullsize"
@@ -65,6 +75,11 @@ def main_driver():
         # to rank epochs by. 32 batches = 256 held-out queries.
         "valid.trainer_paras.limit_val_batches=32",
     ]
+    if args.warmup is not None:
+        opts.append("train.optimizer_config.scheduler_params."
+                    f"num_warmup_steps={args.warmup}")
+    if args.seed is not None:
+        opts.append(f"meta.seed={args.seed}")
     run(["--config", f"configs/{exp}.json", "--mode", "train",
          "--opts"] + opts)
     d = latest_version(exp)
